@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+Forces JAX onto the CPU backend with 8 virtual devices so mesh/sharding and
+collective tests run without TPU hardware (SURVEY.md §4.4). Must run before
+jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
