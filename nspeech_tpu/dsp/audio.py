@@ -1,0 +1,298 @@
+"""Signal processing core: STFT, spectrogram features, Griffin-Lim.
+
+TPU-native replacement for the reference's librosa/TF DSP layer
+(reference: neural_speech/utils/audio.py). Everything here is pure
+``jax.numpy`` on static shapes, so the whole wav -> (linear, mel) featurizer
+and the iterative Griffin-Lim inversion compile to single fused XLA
+programs (FFTs run on-device). Conventions follow librosa so features are
+numerically compatible with the reference pipeline:
+
+- hann window of ``win_length`` (periodic), zero-padded centrally to
+  ``n_fft``;
+- signal reflect-padded by ``n_fft // 2`` on both sides (center=True);
+- ISTFT overlap-add normalized by the squared-window envelope.
+
+Config is passed explicitly (the reference read a process-global singleton,
+audio.py:9; see SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nspeech_tpu.config import Config, stft_params
+from nspeech_tpu.dsp.mel import mel_filterbank
+
+
+# -----------------------------------------------------------------------------
+# Windows and framing
+# -----------------------------------------------------------------------------
+
+def periodic_hann(win_length: int) -> np.ndarray:
+    """Periodic (DFT-even) Hann window, as used by librosa/scipy fftbins=True."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def _padded_window(n_fft: int, win_length: int) -> np.ndarray:
+    """Hann(win_length) zero-padded centrally to n_fft (librosa pad_center)."""
+    window = periodic_hann(win_length)
+    lpad = (n_fft - win_length) // 2
+    return np.pad(window, (lpad, n_fft - win_length - lpad)).astype(np.float32)
+
+
+def num_frames(n_samples: int, n_fft: int, hop_length: int) -> int:
+    """Frame count for a center-padded signal of n_samples."""
+    return 1 + (n_samples + 2 * (n_fft // 2) - n_fft) // hop_length
+
+
+def _frame(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """[T] -> [n_frames, n_fft] frames of the center-padded signal."""
+    pad = n_fft // 2
+    y = jnp.pad(y, (pad, pad), mode="reflect")
+    n = 1 + (y.shape[0] - n_fft) // hop_length
+    idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    return y[idx]
+
+
+# -----------------------------------------------------------------------------
+# STFT / ISTFT
+# -----------------------------------------------------------------------------
+
+def stft(y: jnp.ndarray, n_fft: int, hop_length: int, win_length: int) -> jnp.ndarray:
+    """Complex STFT, shape [n_frames, 1 + n_fft//2] (time-major)."""
+    window = jnp.asarray(_padded_window(n_fft, win_length))
+    frames = _frame(y.astype(jnp.float32), n_fft, hop_length)
+    return jnp.fft.rfft(frames * window[None, :], axis=-1)
+
+
+def istft(
+    stft_matrix: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT with squared-window overlap-add normalization.
+
+    ``stft_matrix`` is time-major [n_frames, 1 + n_fft//2]. Output trims the
+    ``n_fft // 2`` centering pad from both ends, matching librosa.istft.
+    """
+    window = jnp.asarray(_padded_window(n_fft, win_length))
+    frames = jnp.fft.irfft(stft_matrix, n=n_fft, axis=-1) * window[None, :]
+
+    n = frames.shape[0]
+    total = n_fft + hop_length * (n - 1)
+    # Overlap-add via scatter-add of all frames at their hop offsets.
+    idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    y = jnp.zeros(total, dtype=frames.dtype).at[idx.reshape(-1)].add(frames.reshape(-1))
+    wss = jnp.zeros(total, dtype=frames.dtype).at[idx.reshape(-1)].add(
+        jnp.tile(window * window, n)
+    )
+    y = y / jnp.maximum(wss, 1e-10)
+
+    pad = n_fft // 2
+    y = y[pad: total - pad]
+    if length is not None:
+        y = y[:length]
+    return y
+
+
+# -----------------------------------------------------------------------------
+# Pre-emphasis
+# -----------------------------------------------------------------------------
+
+def preemphasis(x: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """y[n] = x[n] - coef * x[n-1] (FIR; first sample passes through)."""
+    x = jnp.asarray(x)
+    return jnp.concatenate([x[:1], x[1:] - coef * x[:-1]])
+
+
+def inv_preemphasis(x: jnp.ndarray, coef: float) -> jnp.ndarray:
+    """Inverse filter y[n] = x[n] + coef * y[n-1].
+
+    First-order IIR expressed as an associative scan (log-depth on TPU
+    instead of a length-T sequential loop).
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    a = jnp.full_like(x, coef)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, b2 + a2 * b1
+
+    _, y = jax.lax.associative_scan(combine, (a, x))
+    return y
+
+
+# -----------------------------------------------------------------------------
+# dB / normalization helpers (reference: audio.py:150-171)
+# -----------------------------------------------------------------------------
+
+def amp_to_db(x: jnp.ndarray) -> jnp.ndarray:
+    return 20.0 * jnp.log10(jnp.maximum(1e-5, x))
+
+
+def db_to_amp(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.power(10.0, x * 0.05)
+
+
+def normalize(S: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
+    return jnp.clip((S - min_level_db) / -min_level_db, 0.0, 1.0)
+
+
+def denormalize(S: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
+    return jnp.clip(S, 0.0, 1.0) * -min_level_db + min_level_db
+
+
+# -----------------------------------------------------------------------------
+# Featurizer: wav -> (linear, mel) spectrograms
+# -----------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop_length", "win_length", "num_mels", "sample_rate",
+        "preemph", "ref_level_db", "min_level_db",
+    ),
+)
+def _featurize(
+    y: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    num_mels: int,
+    sample_rate: int,
+    preemph: float,
+    ref_level_db: float,
+    min_level_db: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused wav -> (linear [T, F], mel [T, M]) feature extraction."""
+    mel_basis = jnp.asarray(mel_filterbank(sample_rate, n_fft, num_mels))
+    emph = preemphasis(y, preemph)
+    mag = jnp.abs(stft(emph, n_fft, hop_length, win_length))  # [T, F]
+    linear = normalize(amp_to_db(mag) - ref_level_db, -abs(min_level_db))
+    mel = normalize(amp_to_db(mag @ mel_basis.T), -abs(min_level_db))
+    return linear.astype(jnp.float32), mel.astype(jnp.float32)
+
+
+def spectrograms(y, cfg: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Linear + mel spectrograms (time-major) with the reference's dB scaling
+    and [0,1] normalization (reference: audio.py:39-64). One fused device
+    program replaces the host librosa path.
+
+    NOTE: the reference normalizes with ``min_level_db`` read as a *positive*
+    100 but used as -100 dB floor (audio.py:163 divides by the negated
+    value); this function takes the config value and applies the identical
+    arithmetic.
+    """
+    n_fft, hop_length, win_length = stft_params(cfg)
+    return _featurize(
+        jnp.asarray(y, dtype=jnp.float32),
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        num_mels=cfg.num_mels,
+        sample_rate=cfg.sample_rate,
+        preemph=cfg.preemphasis,
+        ref_level_db=cfg.ref_level_db,
+        min_level_db=cfg.min_level_db,
+    )
+
+
+def spectrogram(y, cfg: Config) -> jnp.ndarray:
+    return spectrograms(y, cfg)[0]
+
+
+def melspectrogram(y, cfg: Config) -> jnp.ndarray:
+    return spectrograms(y, cfg)[1]
+
+
+# -----------------------------------------------------------------------------
+# Griffin-Lim inversion (reference: audio.py:45-58,77-103)
+# -----------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop_length", "win_length", "iters",
+        "ref_level_db", "min_level_db", "power",
+    ),
+)
+def _griffin_lim(
+    S_norm: jnp.ndarray,
+    key: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    iters: int,
+    ref_level_db: float,
+    min_level_db: float,
+    power: float,
+) -> jnp.ndarray:
+    """Normalized linear spectrogram [T, F] -> waveform via Griffin-Lim.
+
+    The full denormalize -> dB->amp -> power-raise -> iterative phase
+    estimation loop compiles to one device program (lax.fori_loop), replacing
+    the 60-iteration host loop / in-graph TF loop of the reference.
+    """
+    S = db_to_amp(denormalize(S_norm, -abs(min_level_db)) + ref_level_db)
+    S = jnp.power(S, power)
+
+    angles = jnp.exp(2j * jnp.pi * jax.random.uniform(key, S.shape))
+    S_complex = S.astype(jnp.complex64)
+    y = istft(S_complex * angles, n_fft, hop_length, win_length)
+
+    def body(_, y):
+        est = stft(y, n_fft, hop_length, win_length)
+        angles = est / jnp.maximum(1e-8, jnp.abs(est))
+        return istft(S_complex * angles, n_fft, hop_length, win_length)
+
+    y = jax.lax.fori_loop(0, iters, body, y)
+    return y.astype(jnp.float32)
+
+
+def inv_spectrogram(S_norm, cfg: Config, key=None) -> jnp.ndarray:
+    """Waveform from a normalized linear spectrogram [T, F].
+
+    Does NOT invert pre-emphasis (same contract as the reference TF path,
+    audio.py:51-58); call :func:`inv_preemphasis` on the result.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_fft, hop_length, win_length = stft_params(cfg)
+    return _griffin_lim(
+        jnp.asarray(S_norm, dtype=jnp.float32),
+        key,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        iters=cfg.griffin_lim_iters,
+        ref_level_db=cfg.ref_level_db,
+        min_level_db=cfg.min_level_db,
+        power=cfg.power,
+    )
+
+
+# -----------------------------------------------------------------------------
+# Endpointing (host-side; reference: audio.py:67-74)
+# -----------------------------------------------------------------------------
+
+def find_endpoint(wav: np.ndarray, cfg: Config, threshold_db: float = -40.0,
+                  min_silence_sec: float = 0.8) -> int:
+    window_length = int(cfg.sample_rate * min_silence_sec)
+    hop = window_length // 4
+    threshold = 10.0 ** (threshold_db * 0.05)
+    wav = np.asarray(wav)
+    for x in range(hop, len(wav) - window_length, hop):
+        if np.max(wav[x: x + window_length]) < threshold:
+            return x + hop
+    return len(wav)

@@ -1,0 +1,53 @@
+"""WAV file I/O with resampling.
+
+Replaces the reference's librosa.load/librosa.output
+(reference: neural_speech/utils/audio.py:13-19) with scipy + stdlib:
+reads PCM/float WAV, mixes to mono, converts to float32 in [-1, 1], and
+polyphase-resamples to the configured sample rate.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def load_wav(path: str, sample_rate: int) -> np.ndarray:
+    """Load a wav as mono float32 in [-1, 1] at ``sample_rate``."""
+    sr, data = wavfile.read(path)
+    data = np.asarray(data)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if data.dtype == np.int16:
+        wav = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        wav = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        wav = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        wav = data.astype(np.float32)
+    if sr != sample_rate:
+        ratio = Fraction(sample_rate, sr).limit_denominator(1000)
+        wav = resample_poly(wav, ratio.numerator, ratio.denominator).astype(np.float32)
+    return wav
+
+
+def save_wav(wav: np.ndarray, path: str, sample_rate: int) -> None:
+    """Peak-normalize to int16 full scale and write (reference: audio.py:17-19)."""
+    wav = np.asarray(wav, dtype=np.float32)
+    wav = wav * (32767.0 / max(0.01, float(np.max(np.abs(wav)))))
+    wavfile.write(path, sample_rate, wav.astype(np.int16))
+
+
+def encode_wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a waveform as in-memory RIFF/WAV bytes (for HTTP serving)."""
+    import io
+
+    buf = io.BytesIO()
+    wav = np.asarray(wav, dtype=np.float32)
+    wav = wav * (32767.0 / max(0.01, float(np.max(np.abs(wav)))))
+    wavfile.write(buf, sample_rate, wav.astype(np.int16))
+    return buf.getvalue()
