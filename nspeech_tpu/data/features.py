@@ -1,0 +1,83 @@
+"""Per-utterance feature extraction with an on-disk cache.
+
+Behavioral equivalent of the reference's ``process_utterance``
+(reference: neural_speech/datasets/process.py:23-36) — load, trim, linear +
+mel spectrograms — but the STFT/mel math runs as one fused jitted program
+(nspeech_tpu.dsp) and results are cached as .npz files in a configurable
+cache directory (replacing the reference's unbounded in-RAM memo plus
+hardcoded /cache joblib dump, datafeeder.py:171-176, train.py:121-125).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from concurrent.futures import ProcessPoolExecutor
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from nspeech_tpu.config import Config
+from nspeech_tpu import dsp
+
+
+class Utterance(NamedTuple):
+    utt_id: str
+    wav: np.ndarray           # trimmed waveform, float32 [-1, 1]
+    linear: np.ndarray        # [T, num_freq] normalized dB spectrogram
+    mel: np.ndarray           # [T, num_mels]
+    n_frames: int
+
+
+def _cache_path(cache_dir: str, wav_path: str, cfg: Config) -> str:
+    key = "%s|%d|%d|%d|%g|%g" % (
+        os.path.abspath(wav_path), cfg.sample_rate, cfg.num_freq,
+        cfg.num_mels, cfg.frame_shift_ms, cfg.frame_length_ms,
+    )
+    digest = hashlib.sha1(key.encode()).hexdigest()[:20]
+    return os.path.join(cache_dir, digest + ".npz")
+
+
+def process_utterance(
+    wav_path: str,
+    cfg: Config,
+    cache_dir: Optional[str] = None,
+) -> Utterance:
+    """Load, trim, and featurize one utterance (optionally cached)."""
+    utt_id = os.path.splitext(os.path.basename(wav_path))[0]
+
+    if cache_dir:
+        path = _cache_path(cache_dir, wav_path, cfg)
+        if os.path.exists(path):
+            with np.load(path) as z:
+                return Utterance(utt_id, z["wav"], z["linear"], z["mel"],
+                                 int(z["linear"].shape[0]))
+
+    wav = dsp.trim_wav(dsp.load_wav(wav_path, cfg.sample_rate))
+    linear, mel = dsp.spectrograms(wav, cfg)
+    linear = np.asarray(linear)
+    mel = np.asarray(mel)
+
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.%d.npz" % os.getpid()  # np.savez appends .npz otherwise
+        np.savez(tmp, wav=wav, linear=linear, mel=mel)
+        os.replace(tmp, path)
+
+    return Utterance(utt_id, wav, linear, mel, linear.shape[0])
+
+
+def build_from_paths(
+    wav_paths,
+    cfg: Config,
+    cache_dir: Optional[str] = None,
+    num_workers: int = 1,
+):
+    """Offline parallel feature build (reference: process.py:11-18)."""
+    if num_workers <= 1:
+        return [process_utterance(p, cfg, cache_dir) for p in wav_paths]
+    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+        futures = [ex.submit(partial(process_utterance, p, cfg, cache_dir))
+                   for p in wav_paths]
+        return [f.result() for f in futures]
