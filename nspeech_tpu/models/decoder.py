@@ -1,0 +1,96 @@
+"""Shared decoder machinery for the Tacotron models.
+
+Replaces the reference's dynamic_decode / Helper object machinery
+(reference: tacotron.py:79-86, neural_speech/models/utils/helpers.py) with
+plain ``lax.scan``:
+
+- teacher forcing scans over every r-th target frame, shifted right with an
+  all-zero <GO> frame (TacoTrainingHelper semantics, helpers.py:41-77 —
+  full padded length, no early stop);
+- inference scans to ``max_iters`` feeding the last predicted frame back,
+  tracking the reference's stop criterion (an output equal to the all-zero
+  end token, helpers.py:32-38) to report per-row decoded lengths.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def teacher_frames(mel_targets: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[N, T_out, M] -> time-major decoder inputs [S, N, M] where S=T_out/r.
+
+    Step s consumes the (s*r - 1)-th target frame (every r-th frame), with a
+    zero GO frame first (helpers.py:49,80-82).
+    """
+    n, t_out, m = mel_targets.shape
+    frames = mel_targets[:, r - 1::r, :]          # [N, S, M]
+    go = jnp.zeros((n, 1, m), mel_targets.dtype)
+    shifted = jnp.concatenate([go, frames[:, :-1, :]], axis=1)
+    return jnp.moveaxis(shifted, 1, 0)
+
+
+def scan_teacher(
+    step: Callable,        # (carry, x [N,M], rng_t) -> (carry, (out [N,r*M], align [N,T_in]))
+    carry0,
+    inputs: jnp.ndarray,   # [S, N, M]
+    rng: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced decode. Returns (outputs [S, N, r*M], alignments [S, N, T_in])."""
+    s = inputs.shape[0]
+    keys = jax.random.split(rng, s)
+
+    def body(carry, xs):
+        x, key = xs
+        return step(carry, x, key)
+
+    _, (outs, aligns) = jax.lax.scan(body, carry0, (inputs, keys))
+    return outs, aligns
+
+
+def scan_autoregressive(
+    step: Callable,
+    carry0,
+    batch: int,
+    num_mels: int,
+    r: int,
+    max_iters: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Autoregressive decode for ``max_iters`` steps (fixed shape).
+
+    Returns (outputs [S, N, r*M], alignments [S, N, T_in], lengths [N]) where
+    lengths counts decoder steps until the zero-frame stop token (or
+    max_iters). Outputs after the stop are still emitted, matching
+    dynamic_decode with impute_finished=False.
+    """
+    x0 = jnp.zeros((batch, num_mels))          # GO frame
+    finished0 = jnp.zeros((batch,), bool)
+    steps0 = jnp.full((batch,), max_iters, jnp.int32)
+
+    def body(state, t):
+        carry, x, finished, steps = state
+        carry, (out, align) = step(carry, x, None)
+        now_finished = jnp.all(out == 0.0, axis=-1)
+        steps = jnp.where(~finished & now_finished, t + 1, steps)
+        finished = finished | now_finished
+        next_x = out[:, -num_mels:]
+        return (carry, next_x, finished, steps), (out, align)
+
+    (_, _, _, steps), (outs, aligns) = jax.lax.scan(
+        body, (carry0, x0, finished0, steps0), jnp.arange(max_iters)
+    )
+    return outs, aligns, steps
+
+
+def assemble_outputs(outs: jnp.ndarray, num_mels: int) -> jnp.ndarray:
+    """[S, N, r*M] decoder outputs -> [N, S*r, M] mel frames."""
+    s, n, rm = outs.shape
+    return jnp.moveaxis(outs, 0, 1).reshape(n, s * (rm // num_mels), num_mels)
+
+
+def assemble_alignments(aligns: jnp.ndarray) -> jnp.ndarray:
+    """[S, N, T_in] -> [N, T_in, S] (plot orientation, tacotron.py:101)."""
+    return jnp.transpose(aligns, (1, 2, 0))

@@ -1,0 +1,222 @@
+"""Tacotron-1: CBHG seq2seq text-to-spectrogram model.
+
+TPU-native rebuild of the reference model
+(reference: neural_speech/models/tacotron.py): char embedding -> encoder
+prenet -> encoder CBHG -> attention decoder (GRU attention cell + 2 residual
+GRUs, r frames per step) -> post-CBHG -> linear spectrogram. The decoder is
+a single fused ``lax.scan`` step (prenet + attention + GRU stack + frame
+projection), replacing the dynamic_decode/Helper machinery
+(tacotron.py:65-86) — SURVEY.md §7.3.
+
+Composition quirk preserved from the reference: the decoder prenet is
+applied to the concatenation [input frame; previous attention context]
+(AttentionWrapper's cell_input_fn feeds PrenetWrapper), not to the frame
+alone as in the published Tacotron paper.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nspeech_tpu.config import Config
+from nspeech_tpu.models import attention as A
+from nspeech_tpu.models import decoder as D
+from nspeech_tpu.models import modules as M
+from nspeech_tpu.ops import layers as L
+from nspeech_tpu.text.symbols import symbols
+
+softsign = jax.nn.soft_sign
+
+
+class Tacotron1:
+    name = "taco1"
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.multi_speaker = cfg.num_speakers > 1
+        # Shape metadata is derived from config alone so a model restored
+        # from a checkpoint never depends on init() having run.
+        self._enc_meta = {"K": cfg.encoder_cbhg_banks, "gru_units": 128,
+                          "in_dim": cfg.encoder_prenet[-1]}
+        self._post_meta = {"K": cfg.post_cbhg_banks, "gru_units": 128,
+                           "in_dim": cfg.num_mels}
+
+    # -- parameters -----------------------------------------------------------
+
+    def init(self, key) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        cfg = self.cfg
+        keys = iter(jax.random.split(key, 16))
+        vocab = len(symbols)
+        M_dim = cfg.num_mels
+        r = cfg.outputs_per_step
+
+        params: Dict[str, Any] = {}
+        state: Dict[str, Any] = {}
+
+        params["embedding"] = L.init_embedding(next(keys), vocab, cfg.embedding_dim)
+        spk_dim = None
+        if self.multi_speaker:
+            params["speaker_embed"] = {
+                "table": L.glorot_uniform(
+                    next(keys), (cfg.num_speakers, cfg.speaker_embed_dim),
+                    cfg.num_speakers, cfg.speaker_embed_dim)
+            }
+            spk_dim = cfg.speaker_embed_dim
+
+        params["encoder_prenet"] = L.init_prenet(
+            next(keys), cfg.embedding_dim, cfg.encoder_prenet)
+        enc_in = cfg.encoder_prenet[-1]
+        params["encoder_cbhg"], state["encoder_cbhg"], _ = M.init_cbhg(
+            next(keys), enc_in, cfg.encoder_cbhg_banks,
+            list(cfg.encoder_cbhg_bank_sizes), speaker_dim=spk_dim)
+        memory_dim = 2 * self._enc_meta["gru_units"]  # 256
+
+        params["attention"] = A.init_attention(
+            next(keys), cfg.attention_type, cfg.attention_dim, memory_dim,
+            query_dim=cfg.attention_dim)
+
+        # Decoder prenet input: [frame (M); previous context (memory_dim)].
+        params["decoder_prenet"] = L.init_prenet(
+            next(keys), M_dim + memory_dim, [256, 128])
+        attn_in = 128
+        if self.multi_speaker:
+            params["spk_prenet"] = L.init_dense(next(keys), spk_dim, 128)
+            attn_in += 128
+        params["attn_gru"] = L.init_gru(next(keys), attn_in, cfg.attention_dim)
+        # OutputProjectionWrapper(attention_cell, decoder_dim) (tacotron.py:70)
+        params["out_proj"] = L.init_dense(
+            next(keys), cfg.attention_dim + memory_dim, cfg.decoder_dim)
+        params["gru2"] = L.init_gru(next(keys), cfg.decoder_dim, cfg.decoder_dim)
+        params["gru3"] = L.init_gru(next(keys), cfg.decoder_dim, cfg.decoder_dim)
+        params["frame_proj"] = L.init_dense(next(keys), cfg.decoder_dim, M_dim * r)
+
+        params["post_cbhg"], state["post_cbhg"], _ = M.init_cbhg(
+            next(keys), M_dim, cfg.post_cbhg_banks,
+            list(cfg.post_cbhg_bank_sizes) + [M_dim], speaker_dim=None)
+        params["linear_proj"] = L.init_dense(
+            next(keys), 2 * self._post_meta["gru_units"], cfg.num_freq)
+        return params, state
+
+    # -- decoder step ---------------------------------------------------------
+
+    def _make_step(self, params, keys_mem, values, mask, spk, is_training: bool):
+        cfg = self.cfg
+        att_type = cfg.attention_type
+        drop = cfg.drop_rate if is_training else 0.0
+
+        def step(carry, x, rng_t):
+            h1, context, align, h2, h3 = carry
+            cell_in = jnp.concatenate([x, context], axis=-1)
+            pre = L.prenet(params["decoder_prenet"], cell_in, drop, rng_t)
+            if spk is not None:
+                s = L.dense(params["spk_prenet"], spk, softsign)
+                pre = jnp.concatenate([pre, s], axis=-1)
+            h1 = L.gru_cell(params["attn_gru"], pre, h1)
+            context, align = A.attention_step(
+                params["attention"], att_type, h1, align, keys_mem, values, mask)
+            concat_out = jnp.concatenate([h1, context], axis=-1)
+            proj = L.dense(params["out_proj"], concat_out)
+            g2 = L.gru_cell(params["gru2"], proj, h2)
+            o2 = proj + g2
+            g3 = L.gru_cell(params["gru3"], o2, h3)
+            o3 = o2 + g3
+            out = L.dense(params["frame_proj"], o3)
+            return (h1, context, align, g2, g3), (out, align)
+
+        return step
+
+    def _decoder_carry0(self, batch: int, t_in: int):
+        cfg = self.cfg
+        memory_dim = 2 * self._enc_meta["gru_units"]
+        return (
+            jnp.zeros((batch, cfg.attention_dim)),
+            jnp.zeros((batch, memory_dim)),
+            A.initial_alignments(cfg.attention_type, batch, t_in),
+            jnp.zeros((batch, cfg.decoder_dim)),
+            jnp.zeros((batch, cfg.decoder_dim)),
+        )
+
+    # -- forward --------------------------------------------------------------
+
+    def encode(self, params, state, text_inputs, input_lengths, speaker_ids,
+               is_training: bool, rng):
+        cfg = self.cfg
+        embedded = L.embedding(params["embedding"], text_inputs)
+        spk = None
+        if self.multi_speaker:
+            spk = jnp.take(params["speaker_embed"]["table"], speaker_ids, axis=0)
+        pre = L.prenet(params["encoder_prenet"], embedded,
+                       cfg.drop_rate if is_training else 0.0, rng)
+        enc_out, enc_state = M.cbhg(
+            params["encoder_cbhg"], state["encoder_cbhg"], self._enc_meta,
+            pre, input_lengths, spk, is_training)
+        return enc_out, spk, enc_state
+
+    def forward(
+        self,
+        params,
+        state,
+        text_inputs: jnp.ndarray,          # [N, T_in] int32
+        input_lengths: jnp.ndarray,        # [N]
+        speaker_ids: Optional[jnp.ndarray] = None,
+        mel_targets: Optional[jnp.ndarray] = None,  # [N, T_out, M] (training)
+        is_training: bool = False,
+        rng: Optional[jnp.ndarray] = None,
+    ):
+        """Returns (outputs dict, new_bn_state). Training mode iff
+        mel_targets is given and is_training."""
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng_enc, rng_dec = jax.random.split(rng)
+        n, t_in = text_inputs.shape
+
+        enc_out, spk, enc_state = self.encode(
+            params, state, text_inputs, input_lengths, speaker_ids,
+            is_training, rng_enc)
+        keys_mem = A.prepare_memory(params["attention"], enc_out)
+        mask = jnp.arange(t_in)[None, :] < input_lengths[:, None]
+
+        step = self._make_step(params, keys_mem, enc_out, mask, spk, is_training)
+        carry0 = self._decoder_carry0(n, t_in)
+
+        lengths = None
+        if mel_targets is not None:
+            inputs = D.teacher_frames(mel_targets, cfg.outputs_per_step)
+            outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
+        else:
+            outs, aligns, lengths = D.scan_autoregressive(
+                lambda c, x, _r: step(c, x, None), carry0, n, cfg.num_mels,
+                cfg.outputs_per_step, cfg.max_iters)
+
+        mel_outputs = D.assemble_outputs(outs, cfg.num_mels)
+        alignments = D.assemble_alignments(aligns)
+
+        post_out, post_state = M.cbhg(
+            params["post_cbhg"], state["post_cbhg"], self._post_meta,
+            mel_outputs, None, None, is_training)
+        linear_outputs = L.dense(params["linear_proj"], post_out)
+
+        outputs = {
+            "mel_outputs": mel_outputs,
+            "linear_outputs": linear_outputs,
+            "alignments": alignments,
+        }
+        if lengths is not None:
+            outputs["decoder_steps"] = lengths
+        new_state = {"encoder_cbhg": enc_state, "post_cbhg": post_state}
+        return outputs, new_state
+
+    # -- loss (reference: tacotron.py:124-133) --------------------------------
+
+    def loss(self, outputs, mel_targets, linear_targets):
+        cfg = self.cfg
+        mel_loss = jnp.mean(jnp.abs(mel_targets - outputs["mel_outputs"]))
+        l1 = jnp.abs(linear_targets - outputs["linear_outputs"])
+        n_priority = int(3000 / (cfg.sample_rate * 0.5) * cfg.num_freq)
+        linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
+        loss = mel_loss + linear_loss
+        return loss, {"loss": loss, "loss_mel": mel_loss, "loss_linear": linear_loss}

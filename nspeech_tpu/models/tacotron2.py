@@ -1,0 +1,209 @@
+"""Tacotron-2: conv+BiLSTM encoder, location-sensitive attention, LSTM
+decoder, postnet residual, conv+BiLSTM "expand" network to linear spectra.
+
+TPU-native rebuild of the reference model
+(reference: neural_speech/models/tacotron2.py). The decoder step — prenet ->
+attention LSTM -> location-sensitive attention -> 2x1024 LSTM -> r-frame
+projection — is one fused ``lax.scan`` body (SURVEY.md §7.5). Alignment
+state (the previous alignment vector) threads through the scan carry; the
+full history is emitted as scan outputs, not materialized as a growing
+TensorArray.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nspeech_tpu.config import Config
+from nspeech_tpu.models import attention as A
+from nspeech_tpu.models import decoder as D
+from nspeech_tpu.models import modules as M
+from nspeech_tpu.ops import layers as L
+from nspeech_tpu.text.symbols import symbols
+
+softsign = jax.nn.soft_sign
+
+
+class Tacotron2:
+    name = "taco2"
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.multi_speaker = cfg.num_speakers > 1
+        self._enc_meta = {"lstm_units": cfg.encoder_lstm_units}
+        self._expand_meta = {"lstm_units": cfg.expand_lstm_units}
+        self._memory_dim = 2 * cfg.encoder_lstm_units  # 512
+
+    def init(self, key) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        cfg = self.cfg
+        keys = iter(jax.random.split(key, 16))
+        vocab = len(symbols)
+        M_dim = cfg.num_mels
+        r = cfg.outputs_per_step
+
+        params: Dict[str, Any] = {}
+        state: Dict[str, Any] = {}
+
+        params["embedding"] = L.init_embedding(next(keys), vocab, cfg.embedding_dim)
+        spk_dim = None
+        if self.multi_speaker:
+            params["speaker_embed"] = {
+                "table": L.glorot_uniform(
+                    next(keys), (cfg.num_speakers, cfg.speaker_embed_dim),
+                    cfg.num_speakers, cfg.speaker_embed_dim)
+            }
+            spk_dim = cfg.speaker_embed_dim
+
+        params["encoder"], state["encoder"], _ = M.init_conv_and_lstm(
+            next(keys), cfg.embedding_dim, cfg.encoder_conv_layers,
+            cfg.encoder_conv_width, cfg.encoder_conv_channels,
+            cfg.encoder_lstm_units)
+
+        # Reference hardwires attention_type="location_sensitive" here
+        # (tacotron2.py:63-64) regardless of the config key.
+        params["attention"] = A.init_attention(
+            next(keys), "location_sensitive", cfg.attention_dim,
+            self._memory_dim, query_dim=cfg.attention_dim)
+
+        params["decoder_prenet"] = L.init_prenet(
+            next(keys), M_dim + self._memory_dim, [256, 128])
+        attn_in = 128
+        if self.multi_speaker:
+            params["spk_prenet"] = L.init_dense(next(keys), spk_dim, 128)
+            attn_in += 128
+        params["attn_lstm"] = L.init_lstm(next(keys), attn_in, cfg.attention_dim)
+        dec_in = cfg.attention_dim + self._memory_dim  # concat(output, context)
+        params["lstm1"] = L.init_lstm(next(keys), dec_in, cfg.decoder_lstm_units)
+        params["lstm2"] = L.init_lstm(
+            next(keys), cfg.decoder_lstm_units, cfg.decoder_lstm_units)
+        params["frame_proj"] = L.init_dense(
+            next(keys), cfg.decoder_lstm_units, M_dim * r)
+
+        params["postnet"], state["postnet"] = M.init_postnet(
+            next(keys), M_dim, cfg.postnet_conv_layers, cfg.postnet_conv_width,
+            cfg.postnet_conv_channels)
+
+        params["expand"], state["expand"], _ = M.init_conv_and_lstm(
+            next(keys), M_dim, cfg.expand_conv_layers, cfg.expand_conv_width,
+            cfg.expand_conv_channels, cfg.expand_lstm_units)
+        params["linear_proj"] = L.init_dense(
+            next(keys), 2 * cfg.expand_lstm_units, cfg.num_freq)
+        return params, state
+
+    # -- decoder step -----------------------------------------------------
+
+    def _make_step(self, params, keys_mem, values, mask, spk, is_training: bool):
+        cfg = self.cfg
+        drop = cfg.drop_rate if is_training else 0.0
+
+        def step(carry, x, rng_t):
+            (c1, h1), context, align, (c2, h2), (c3, h3) = carry
+            cell_in = jnp.concatenate([x, context], axis=-1)
+            pre = L.prenet(params["decoder_prenet"], cell_in, drop, rng_t)
+            if spk is not None:
+                s = L.dense(params["spk_prenet"], spk, softsign)
+                pre = jnp.concatenate([pre, s], axis=-1)
+            out1, (c1, h1) = L.lstm_cell(params["attn_lstm"], pre, (c1, h1))
+            context, align = A.attention_step(
+                params["attention"], "location_sensitive", out1, align,
+                keys_mem, values, mask)
+            concat_out = jnp.concatenate([out1, context], axis=-1)
+            out2, (c2, h2) = L.lstm_cell(params["lstm1"], concat_out, (c2, h2))
+            out3, (c3, h3) = L.lstm_cell(params["lstm2"], out2, (c3, h3))
+            out = L.dense(params["frame_proj"], out3)
+            return ((c1, h1), context, align, (c2, h2), (c3, h3)), (out, align)
+
+        return step
+
+    def _decoder_carry0(self, batch: int, t_in: int):
+        cfg = self.cfg
+        z = jnp.zeros
+
+        def lstm_state(units):
+            return (z((batch, units)), z((batch, units)))
+
+        return (
+            lstm_state(cfg.attention_dim),
+            z((batch, self._memory_dim)),
+            A.initial_alignments("location_sensitive", batch, t_in),
+            lstm_state(cfg.decoder_lstm_units),
+            lstm_state(cfg.decoder_lstm_units),
+        )
+
+    # -- forward ------------------------------------------------------------
+
+    def forward(
+        self,
+        params,
+        state,
+        text_inputs: jnp.ndarray,
+        input_lengths: jnp.ndarray,
+        speaker_ids: Optional[jnp.ndarray] = None,
+        mel_targets: Optional[jnp.ndarray] = None,
+        is_training: bool = False,
+        rng: Optional[jnp.ndarray] = None,
+    ):
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        _, rng_dec = jax.random.split(rng)
+        n, t_in = text_inputs.shape
+
+        embedded = L.embedding(params["embedding"], text_inputs)
+        spk = None
+        if self.multi_speaker:
+            spk = jnp.take(params["speaker_embed"]["table"], speaker_ids, axis=0)
+        enc_out, enc_state = M.conv_and_lstm(
+            params["encoder"], state["encoder"], self._enc_meta,
+            embedded, input_lengths, is_training)
+
+        keys_mem = A.prepare_memory(params["attention"], enc_out)
+        mask = jnp.arange(t_in)[None, :] < input_lengths[:, None]
+        step = self._make_step(params, keys_mem, enc_out, mask, spk, is_training)
+        carry0 = self._decoder_carry0(n, t_in)
+
+        lengths = None
+        if mel_targets is not None:
+            inputs = D.teacher_frames(mel_targets, cfg.outputs_per_step)
+            outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
+        else:
+            outs, aligns, lengths = D.scan_autoregressive(
+                lambda c, x, _r: step(c, x, None), carry0, n, cfg.num_mels,
+                cfg.outputs_per_step, cfg.max_iters)
+
+        decoder_out = D.assemble_outputs(outs, cfg.num_mels)
+        alignments = D.assemble_alignments(aligns)
+
+        residual, post_state = M.postnet(
+            params["postnet"], state["postnet"], decoder_out, is_training)
+        mel_outputs = decoder_out + residual
+
+        expand_out, expand_state = M.conv_and_lstm(
+            params["expand"], state["expand"], self._expand_meta,
+            mel_outputs, None, is_training)
+        linear_outputs = L.dense(params["linear_proj"], expand_out)
+
+        outputs = {
+            "mel_outputs": mel_outputs,
+            "linear_outputs": linear_outputs,
+            "alignments": alignments,
+        }
+        if lengths is not None:
+            outputs["decoder_steps"] = lengths
+        new_state = {"encoder": enc_state, "postnet": post_state,
+                     "expand": expand_state}
+        return outputs, new_state
+
+    # -- loss (reference: tacotron2.py:130-139; 2 kHz priority band) ---------
+
+    def loss(self, outputs, mel_targets, linear_targets):
+        cfg = self.cfg
+        mel_loss = jnp.mean(jnp.abs(mel_targets - outputs["mel_outputs"]))
+        l1 = jnp.abs(linear_targets - outputs["linear_outputs"])
+        n_priority = int(2000 / (cfg.sample_rate * 0.5) * cfg.num_freq)
+        linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
+        loss = mel_loss + linear_loss
+        return loss, {"loss": loss, "loss_mel": mel_loss, "loss_linear": linear_loss}

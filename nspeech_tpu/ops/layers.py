@@ -1,0 +1,321 @@
+"""Neural-net building blocks as pure functions over parameter pytrees.
+
+Functional JAX rebuild of the reference's TF layer zoo
+(reference: neural_speech/models/utils/modules.py). Every layer is a pair of
+``init_*`` (returns a parameter dict) and an apply function; there is no
+module object or global graph. Initializers and epsilon/momentum defaults
+mirror TF 1.x so the rebuilt models start from the same distribution the
+reference trained from (glorot-uniform kernels, GRU gate bias 1.0, LSTM
+forget bias 1.0, batch-norm momentum 0.99 / eps 1e-3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (TF 1.x defaults)
+# ---------------------------------------------------------------------------
+
+def glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def truncated_normal(key, shape, stddev, dtype=jnp.float32):
+    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense
+# ---------------------------------------------------------------------------
+
+def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
+    p = {"kernel": glorot_uniform(key, (in_dim, out_dim), in_dim, out_dim)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,))
+    return p
+
+
+def dense(params: Params, x: jnp.ndarray, activation=None) -> jnp.ndarray:
+    y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"]
+    return activation(y) if activation is not None else y
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+def init_embedding(key, vocab_size: int, dim: int, stddev: float = 0.01) -> Params:
+    return {"table": truncated_normal(key, (vocab_size, dim), stddev)}
+
+
+def embedding(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["table"], ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# 1-D convolution ('same' padding, NWC layout)
+# ---------------------------------------------------------------------------
+
+def init_conv1d(key, width: int, in_ch: int, out_ch: int, use_bias: bool = True) -> Params:
+    fan_in = width * in_ch
+    fan_out = width * out_ch
+    p = {"kernel": glorot_uniform(key, (width, in_ch, out_ch), fan_in, fan_out)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_ch,))
+    return p
+
+
+def conv1d(params: Params, x: jnp.ndarray, padding: str = "SAME",
+           dilation: int = 1) -> jnp.ndarray:
+    """x: [N, T, C] -> [N, T', C_out]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"],
+        window_strides=(1,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Batch normalization (tf.layers.batch_normalization semantics:
+# momentum 0.99, eps 1e-3, stats over all axes but channels)
+# ---------------------------------------------------------------------------
+
+BN_MOMENTUM = 0.99
+BN_EPS = 1e-3
+
+
+def init_batch_norm(dim: int) -> Tuple[Params, Params]:
+    params = {"scale": jnp.ones((dim,)), "offset": jnp.zeros((dim,))}
+    state = {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
+    return params, state
+
+
+def batch_norm(params: Params, state: Params, x: jnp.ndarray,
+               is_training: bool) -> Tuple[jnp.ndarray, Params]:
+    """Normalize over all leading axes. Under data-parallel jit/GSPMD the
+    batch mean/var reductions are global across shards automatically
+    (cross-replica batch stats — SURVEY.md §7 hard part 4)."""
+    axes = tuple(range(x.ndim - 1))
+    if is_training:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        new_state = {
+            "mean": BN_MOMENTUM * state["mean"] + (1 - BN_MOMENTUM) * mean,
+            "var": BN_MOMENTUM * state["var"] + (1 - BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = (x - mean) * inv + params["offset"]
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# Conv1d + activation + BN block (reference: modules.py:194-198 — note the
+# reference order is conv(activation) then BN)
+# ---------------------------------------------------------------------------
+
+def init_conv_bn(key, width: int, in_ch: int, out_ch: int) -> Tuple[Params, Params]:
+    conv_p = init_conv1d(key, width, in_ch, out_ch)
+    bn_p, bn_s = init_batch_norm(out_ch)
+    return {"conv": conv_p, "bn": bn_p}, {"bn": bn_s}
+
+
+def conv_bn(params: Params, state: Params, x: jnp.ndarray, activation,
+            is_training: bool) -> Tuple[jnp.ndarray, Params]:
+    y = conv1d(params["conv"], x)
+    if activation is not None:
+        y = activation(y)
+    y, bn_s = batch_norm(params["bn"], state["bn"], y, is_training)
+    return y, {"bn": bn_s}
+
+
+# ---------------------------------------------------------------------------
+# Prenet: stacked dense+relu+dropout (reference: modules.py:21-27)
+# ---------------------------------------------------------------------------
+
+def init_prenet(key, in_dim: int, layer_sizes: Sequence[int]) -> Params:
+    keys = jax.random.split(key, len(layer_sizes))
+    layers = []
+    for k, size in zip(keys, layer_sizes):
+        layers.append(init_dense(k, in_dim, size))
+        in_dim = size
+    return {"layers": layers}
+
+
+def prenet(params: Params, x: jnp.ndarray, drop_rate: float,
+           rng: Optional[jnp.ndarray]) -> jnp.ndarray:
+    for i, layer in enumerate(params["layers"]):
+        x = dense(layer, x, jax.nn.relu)
+        if drop_rate > 0.0 and rng is not None:
+            key = jax.random.fold_in(rng, i)
+            keep = jax.random.bernoulli(key, 1.0 - drop_rate, x.shape)
+            x = jnp.where(keep, x / (1.0 - drop_rate), 0.0)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Highway (reference: modules.py:185-191; transform-gate bias -1)
+# ---------------------------------------------------------------------------
+
+def init_highway(key, dim: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    h = init_dense(k1, dim, dim)
+    t = init_dense(k2, dim, dim)
+    t["bias"] = jnp.full((dim,), -1.0)
+    return {"H": h, "T": t}
+
+
+def highway(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = dense(params["H"], x, jax.nn.relu)
+    t = dense(params["T"], x, jax.nn.sigmoid)
+    return h * t + x * (1.0 - t)
+
+
+# ---------------------------------------------------------------------------
+# Recurrent cells (TF-compatible gate math)
+# ---------------------------------------------------------------------------
+
+def init_gru(key, in_dim: int, units: int) -> Params:
+    """TF GRUCell layout: gate kernel over [x, h] -> 2*units (reset, update)
+    with bias 1.0; candidate kernel over [x, r*h] -> units with bias 0."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "gate_kernel": glorot_uniform(k1, (in_dim + units, 2 * units),
+                                      in_dim + units, 2 * units),
+        "gate_bias": jnp.ones((2 * units,)),
+        "cand_kernel": glorot_uniform(k2, (in_dim + units, units),
+                                      in_dim + units, units),
+        "cand_bias": jnp.zeros((units,)),
+    }
+
+
+def gru_cell(params: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    xh = jnp.concatenate([x, h], axis=-1)
+    gates = jax.nn.sigmoid(
+        jnp.dot(xh, params["gate_kernel"], preferred_element_type=jnp.float32)
+        + params["gate_bias"]
+    )
+    r, u = jnp.split(gates, 2, axis=-1)
+    xrh = jnp.concatenate([x, r * h], axis=-1)
+    c = jnp.tanh(
+        jnp.dot(xrh, params["cand_kernel"], preferred_element_type=jnp.float32)
+        + params["cand_bias"]
+    )
+    return u * h + (1.0 - u) * c
+
+
+def init_lstm(key, in_dim: int, units: int) -> Params:
+    """LSTMBlockCell layout: one kernel over [x, h] -> 4*units in
+    (i, c', f, o) order; forget bias 1.0 added at runtime."""
+    return {
+        "kernel": glorot_uniform(key, (in_dim + units, 4 * units),
+                                 in_dim + units, 4 * units),
+        "bias": jnp.zeros((4 * units,)),
+    }
+
+
+def lstm_cell(params: Params, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray],
+              forget_bias: float = 1.0) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    c, h = state
+    xh = jnp.concatenate([x, h], axis=-1)
+    z = jnp.dot(xh, params["kernel"], preferred_element_type=jnp.float32) + params["bias"]
+    i, g, f, o = jnp.split(z, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, (new_c, new_h)
+
+
+# ---------------------------------------------------------------------------
+# RNN scans over time with sequence-length masking
+# ---------------------------------------------------------------------------
+
+def _mask_from_lengths(lengths: Optional[jnp.ndarray], batch: int, time: int):
+    if lengths is None:
+        return None
+    return jnp.arange(time)[None, :] < lengths[:, None]  # [N, T]
+
+
+def reverse_sequence(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Reverse the first `lengths[i]` steps of each row of [N, T, ...]."""
+    T = x.shape[1]
+    if lengths is None:
+        return x[:, ::-1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
+def gru_rnn(params: Params, x: jnp.ndarray, h0: Optional[jnp.ndarray],
+            lengths: Optional[jnp.ndarray], units: int) -> jnp.ndarray:
+    """Unidirectional GRU over [N, T, C] -> [N, T, units] via lax.scan.
+    Outputs past each row's length are zeroed and state is held (TF
+    dynamic_rnn semantics)."""
+    N, T = x.shape[0], x.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((N, units), dtype=x.dtype)
+    mask = _mask_from_lengths(lengths, N, T)
+
+    def step(h, inp):
+        xt, mt = inp
+        new_h = gru_cell(params, xt, h)
+        if mt is not None:
+            new_h = jnp.where(mt[:, None], new_h, h)
+            out = jnp.where(mt[:, None], new_h, 0.0)
+        else:
+            out = new_h
+        return new_h, out
+
+    xs = (jnp.moveaxis(x, 1, 0), None if mask is None else jnp.moveaxis(mask, 1, 0))
+    _, ys = jax.lax.scan(step, h0, xs)
+    return jnp.moveaxis(ys, 0, 1)
+
+
+def lstm_rnn(params: Params, x: jnp.ndarray, lengths: Optional[jnp.ndarray],
+             units: int) -> jnp.ndarray:
+    """Unidirectional LSTM over [N, T, C] -> [N, T, units]."""
+    N, T = x.shape[0], x.shape[1]
+    state0 = (jnp.zeros((N, units), x.dtype), jnp.zeros((N, units), x.dtype))
+    mask = _mask_from_lengths(lengths, N, T)
+
+    def step(state, inp):
+        xt, mt = inp
+        out, new_state = lstm_cell(params, xt, state)
+        if mt is not None:
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(mt[:, None], n, o), new_state, state)
+            out = jnp.where(mt[:, None], out, 0.0)
+        return new_state, out
+
+    xs = (jnp.moveaxis(x, 1, 0), None if mask is None else jnp.moveaxis(mask, 1, 0))
+    _, ys = jax.lax.scan(step, state0, xs)
+    return jnp.moveaxis(ys, 0, 1)
+
+
+def bidirectional(
+    fwd_fn, bwd_fn, x: jnp.ndarray, lengths: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Run fwd on x and bwd on the length-aware reversed x; concat features."""
+    out_f = fwd_fn(x)
+    out_b = bwd_fn(reverse_sequence(x, lengths))
+    out_b = reverse_sequence(out_b, lengths)
+    return jnp.concatenate([out_f, out_b], axis=-1)

@@ -1,0 +1,262 @@
+"""Model tests (SURVEY.md §4.2): forward shapes in train/eval mode, loss
+finiteness, one-step learning on a memorized batch, WaveNet fast-vs-slow
+generation equivalence, receptive-field math, attention mechanisms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nspeech_tpu.config import load_config
+from nspeech_tpu.models import create_model
+from nspeech_tpu.models.wavenet import WaveNet, calculate_receptive_field
+
+
+def tiny_taco1():
+    cfg = load_config("taco1")
+    cfg.parse("encoder_cbhg_banks=3,post_cbhg_banks=3,max_iters=4,"
+              "attention_dim=32,decoder_dim=32,embedding_dim=32")
+    cfg.encoder_prenet = [32, 16]
+    # CBHG residual add requires the last projection size == its input dim.
+    cfg.encoder_cbhg_bank_sizes = [32, 16]
+    cfg.post_cbhg_bank_sizes = [32]
+    return cfg
+
+
+def tiny_taco2():
+    cfg = load_config("taco2")
+    cfg.parse(
+        "max_iters=4,encoder_conv_layers=2,postnet_conv_layers=2,"
+        "expand_conv_layers=2,encoder_conv_channels=32,attention_dim=32,"
+        "postnet_conv_channels=32,expand_conv_channels=32,"
+        "decoder_lstm_units=48,encoder_lstm_units=24,expand_lstm_units=24,"
+        "embedding_dim=32")
+    return cfg
+
+
+def tiny_wavenet():
+    cfg = load_config("wavenet")
+    cfg.parse("dilations_length=3,dilations_depth=2,residual_channels=8,"
+              "dilation_channels=8,skip_channels=16,quantization_channels=64,"
+              "batch_size=2")
+    return cfg
+
+
+def make_batch(rng, n=2, t_in=12, t_out=20, num_freq=1025, num_mels=80):
+    text = jnp.array(rng.integers(2, 60, (n, t_in)), jnp.int32)
+    lengths = jnp.array([t_in, t_in - 4], jnp.int32)
+    mel = jnp.array(rng.random((n, t_out, num_mels)), jnp.float32)
+    lin = jnp.array(rng.random((n, t_out, num_freq)), jnp.float32)
+    return text, lengths, mel, lin
+
+
+@pytest.mark.parametrize("name,make_cfg", [("taco1", tiny_taco1), ("taco2", tiny_taco2)])
+def test_tacotron_shapes_and_loss(name, make_cfg, rng):
+    cfg = make_cfg()
+    model = create_model(name, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    text, lengths, mel, lin = make_batch(rng)
+
+    out, new_state = model.forward(params, state, text, lengths,
+                                   mel_targets=mel, is_training=True,
+                                   rng=jax.random.PRNGKey(1))
+    assert out["mel_outputs"].shape == mel.shape
+    assert out["linear_outputs"].shape == lin.shape
+    assert out["alignments"].shape == (2, 12, 20 // cfg.outputs_per_step)
+    loss, metrics = model.loss(out, mel, lin)
+    assert np.isfinite(float(loss))
+    assert float(metrics["loss_mel"]) > 0
+    # BN state must have been updated in training mode
+    flat_old = jax.tree_util.tree_leaves(state)
+    flat_new = jax.tree_util.tree_leaves(new_state)
+    assert any(not np.allclose(a, b) for a, b in zip(flat_old, flat_new))
+
+    # eval mode: autoregressive to max_iters
+    out_e, state_e = model.forward(params, state, text, lengths, is_training=False)
+    r = cfg.outputs_per_step
+    assert out_e["mel_outputs"].shape == (2, cfg.max_iters * r, 80)
+    assert out_e["linear_outputs"].shape == (2, cfg.max_iters * r, 1025)
+    # eval mode must not change BN state
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(state_e)):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name,make_cfg", [("taco1", tiny_taco1), ("taco2", tiny_taco2)])
+def test_tacotron_learns_memorized_batch(name, make_cfg, rng):
+    """A few Adam steps on one batch must reduce the loss."""
+    import optax
+
+    cfg = make_cfg()
+    model = create_model(name, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    text, lengths, mel, lin = make_batch(rng)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, state, opt_state, key):
+        def loss_fn(p):
+            out, ns = model.forward(p, state, text, lengths, mel_targets=mel,
+                                    is_training=True, rng=key)
+            loss, _ = model.loss(out, mel, lin)
+            return loss, ns
+
+        (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, ns, opt_state, loss
+
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = train_step(params, state, opt_state, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_attention_mask_and_normalization(rng):
+    cfg = tiny_taco2()
+    model = create_model("taco2", cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    text, lengths, mel, lin = make_batch(rng)
+    out, _ = model.forward(params, state, text, lengths, mel_targets=mel,
+                           is_training=True, rng=jax.random.PRNGKey(1))
+    a = np.asarray(out["alignments"])  # [N, T_in, S]
+    np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-5)
+    assert a[1, int(lengths[1]):, :].max() == 0.0  # masked past length
+
+
+@pytest.mark.parametrize("att", ["bah", "bah_norm", "luong", "luong_scaled",
+                                 "bah_mon", "location_sensitive"])
+def test_all_attention_types_run(att, rng):
+    cfg = tiny_taco1()
+    cfg.attention_type = att
+    model = create_model("taco1", cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    text, lengths, mel, lin = make_batch(rng)
+    out, _ = model.forward(params, state, text, lengths, mel_targets=mel,
+                           is_training=True, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out["mel_outputs"])).all()
+    a = np.asarray(out["alignments"])
+    assert np.isfinite(a).all() and a.min() >= 0.0
+
+
+def test_receptive_field_formula():
+    # reference formula (wavenet.py:126-134): (fw-1)*sum(dil)+1 + (fw-1)
+    dil = [2 ** i for i in range(10)] * 5
+    assert calculate_receptive_field(2, dil, False, 32) == 5117
+    assert calculate_receptive_field(2, [1, 2, 4], False, 32) == 9
+    assert calculate_receptive_field(2, [1], True, 32) == 33
+
+
+def test_wavenet_train_shapes_and_initial_loss(rng):
+    cfg = tiny_wavenet()
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    T = net.receptive_field + 10
+    audio = jnp.array(rng.uniform(-0.8, 0.8, (2, T)), jnp.float32)
+    logits, targets = net.forward_train(params, audio)
+    assert logits.shape == (2, 10, 64)
+    assert targets.shape == (2, 10)
+    loss, _ = net.loss(logits, targets)
+    # Xavier-initialized net starts near the uniform distribution.
+    assert abs(float(loss) - np.log(64)) < 0.5
+
+
+def test_wavenet_learns(rng):
+    import optax
+
+    cfg = tiny_wavenet()
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    T = net.receptive_field + 32
+    t = np.arange(T) / 64.0
+    audio = jnp.array(np.tile(0.5 * np.sin(2 * np.pi * t), (2, 1)), jnp.float32)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits, targets = net.forward_train(p, audio)
+            return net.loss(logits, targets)[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_wavenet_fast_slow_equivalence(rng):
+    """The single-dispatch scan generator must emit the same logits as the
+    full-window network — the property the reference never verified
+    (SURVEY.md §4.2)."""
+    cfg = tiny_wavenet()
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    RF = net.receptive_field
+    N, T = 2, RF + 6
+    codes = jnp.array(rng.integers(0, 64, (N, T)), jnp.int32)
+    slow = np.asarray(net.predict_logits(params, codes))
+    _, fast = net.generate(params, n_samples=1, key=jax.random.PRNGKey(3),
+                           batch=N, seed_codes=codes, return_logits=True,
+                           include_prime=True)
+    fast = np.asarray(fast)
+    for t in range(RF - 1, T):
+        np.testing.assert_allclose(fast[:, t], slow[:, t - RF + 1],
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_wavenet_conditioned_equivalence(rng):
+    """gc+lc conditioned fast generation matches the conditioned network."""
+    cfg = tiny_wavenet()
+    cfg.parse("gc_channels=4,gc_category_cardinality=3,lc_channels=5")
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    RF = net.receptive_field
+    N, T = 2, RF + 4
+    codes = jnp.array(rng.integers(0, 64, (N, T)), jnp.int32)
+    gc_ids = jnp.array([0, 2], jnp.int32)
+    lc = jnp.array(rng.random((N, T + 1, 5)), jnp.float32)
+    slow = np.asarray(net.predict_logits(params, codes, gc_ids=gc_ids,
+                                         lc=lc[:, :T, :]))
+    _, fast = net.generate(params, n_samples=1, key=jax.random.PRNGKey(3),
+                           batch=N, gc_ids=gc_ids, lc=lc,
+                           seed_codes=codes, return_logits=True,
+                           include_prime=True)
+    fast = np.asarray(fast)
+    for t in range(RF - 1, T):
+        np.testing.assert_allclose(fast[:, t], slow[:, t - RF + 1],
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_wavenet_generate_sampling(rng):
+    cfg = tiny_wavenet()
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    samples = np.asarray(net.generate(params, n_samples=50,
+                                      key=jax.random.PRNGKey(5), batch=2))
+    assert samples.shape == (2, 50)
+    assert samples.min() >= 0 and samples.max() < 64
+    # Temperature ~0 behaves like argmax: deterministic across keys.
+    s1 = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1), batch=1,
+                                 temperature=1e-4))
+    s2 = np.asarray(net.generate(params, 20, jax.random.PRNGKey(2), batch=1,
+                                 temperature=1e-4))
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_simple_wavenet_registry():
+    cfg = load_config("simple_wavenet")
+    cfg.parse("dilations_length=2,dilations_depth=1")
+    net = create_model("simple_wavenet", cfg)
+    assert isinstance(net, WaveNet)
+    assert net.receptive_field == calculate_receptive_field(2, [1, 2], False, 32)
