@@ -1,0 +1,12 @@
+"""Mesh/sharding substrate (data parallelism over ICI, multi-host over DCN)."""
+
+from nspeech_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

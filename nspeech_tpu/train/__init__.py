@@ -1,0 +1,10 @@
+"""Training: optimizers, jitted steps, checkpointing."""
+
+from nspeech_tpu.train.checkpoint import CheckpointManager  # noqa: F401
+from nspeech_tpu.train.loop import (  # noqa: F401
+    TrainState,
+    build_tacotron_train_step,
+    build_wavenet_train_step,
+    create_state,
+)
+from nspeech_tpu.train.optim import make_optimizer, make_schedule  # noqa: F401

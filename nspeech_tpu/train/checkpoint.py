@@ -1,0 +1,54 @@
+"""Orbax checkpointing with the reference's retention policy.
+
+Replaces tf.train.Saver(max_to_keep=5, keep_checkpoint_every_n_hours=2)
+and the manual --restore-step flow (reference: train.py:60-71) with async
+Orbax saves, automatic latest-step resume, and explicit step restore.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from nspeech_tpu.train.loop import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 keep_period_hours: float = 2.0):
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            keep_time_interval=__import__("datetime").timedelta(
+                hours=keep_period_hours),
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(os.path.abspath(directory), options=options)
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``state_like`` (an initialized
+        TrainState provides the tree/shape template)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("No checkpoint found")
+        template = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, state_like._asdict())
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        return TrainState(**restored)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

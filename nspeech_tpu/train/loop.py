@@ -1,0 +1,117 @@
+"""Jitted data-parallel train steps.
+
+Each builder returns a single compiled step function
+``(state, batch, rng) -> (state, metrics)`` with the batch sharded over the
+mesh's data axis and parameters replicated; XLA GSPMD inserts the gradient
+all-reduce over ICI (SURVEY.md §2.7). State buffers are donated so
+parameters update in place in HBM.
+
+This replaces the reference's sess.run train loop over graph ops
+(reference: train.py:78-93).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nspeech_tpu.config import Config
+from nspeech_tpu.parallel import mesh as pmesh
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    bn_state: Any
+    opt_state: Any
+
+
+def create_state(model, optimizer, rng) -> TrainState:
+    init = model.init(rng)
+    if isinstance(init, tuple):
+        params, bn_state = init
+    else:
+        params, bn_state = init, {}
+    opt_state = optimizer.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, bn_state, opt_state)
+
+
+def _global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
+                              multi_speaker: Optional[bool] = None):
+    """Train step for taco1/taco2 on a data.feeder.Batch."""
+
+    def step_fn(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
+        def loss_fn(params):
+            outputs, new_bn = model.forward(
+                params, state.bn_state, batch.inputs, batch.input_lengths,
+                speaker_ids=batch.speaker_ids, mel_targets=batch.mel_targets,
+                is_training=True, rng=rng)
+            loss, metrics = model.loss(outputs, batch.mel_targets,
+                                       batch.linear_targets)
+            return loss, (metrics, new_bn)
+
+        grads, (metrics, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = _global_norm(grads)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        new_state = TrainState(state.step + 1, new_params, new_bn, new_opt)
+        return new_state, metrics
+
+    return _jit_step(step_fn, mesh)
+
+
+def build_wavenet_train_step(net, optimizer, cfg: Config, mesh=None,
+                             schedule=None, use_gc: bool = False,
+                             use_lc: bool = False,
+                             l2_strength: Optional[float] = None):
+    """Train step for WaveNet on a wavenet_feeder.WaveNetBatch."""
+
+    def step_fn(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
+        del rng  # WaveNet training is deterministic
+
+        def loss_fn(params):
+            logits, targets = net.forward_train(
+                params, batch.audio,
+                gc_ids=batch.speaker_ids if use_gc else None,
+                lc=batch.mel if use_lc else None)
+            loss, metrics = net.loss(logits, targets, params=params,
+                                     l2_strength=l2_strength)
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = _global_norm(grads)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        new_state = TrainState(state.step + 1, new_params, state.bn_state, new_opt)
+        return new_state, metrics
+
+    return _jit_step(step_fn, mesh)
+
+
+def _jit_step(step_fn, mesh):
+    """Jit with data-parallel shardings when a mesh is given."""
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    batch_sh = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
