@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Batch evaluation CLI: synthesize fixed sentences from a checkpoint.
+
+Same surface and outputs as the reference (reference: eval.py): 8 news/demo
+sentences plus three groups of Harvard sentences, each written as wav +
+linear/mel spectrogram PNGs next to the checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import nspeech_tpu.config as config
+from nspeech_tpu import dsp
+from nspeech_tpu.serving import Synthesizer
+from nspeech_tpu.utils import plot
+
+sentences = [
+    "Scientists at the CERN laboratory say they have discovered a new particle.",
+    "There's a way to measure the acute emotional intelligence that has never gone out of style.",
+    "President Trump met with other leaders at the Group of Twenty conference.",
+    "The Senate's bill to repeal and replace the Affordable Care Act is now imperiled.",
+    "Generative adversarial network or variational auto-encoder.",
+    "The buses aren't the problem, they actually provide a solution.",
+    "Does the quick brown fox jump over the lazy dog?",
+    "Talib Kweli confirmed to AllHipHop that he will be releasing an album in the next year.",
+]
+
+
+def _synthesize_to(synth, cfg, text: str, path: str, speaker: int) -> None:
+    print("Synthesizing: %s" % path)
+    wav, mel, lin = synth.synthesize(text, speaker)
+    dsp.save_wav(wav, path + ".wav", cfg.sample_rate)
+    plot.plot_specgram(lin, path + "-lin.png", "linear")
+    plot.plot_specgram(mel, path + "-mel.png", "mel")
+
+
+def simple_eval(args, synth, cfg, base_path: str) -> None:
+    for i, text in enumerate(sentences):
+        _synthesize_to(synth, cfg, text, "%s-%d" % (base_path, i), args.speaker)
+
+
+def harvard_eval(args, synth, cfg, base_path: str) -> None:
+    path = os.path.join(os.path.dirname(__file__),
+                        "nspeech_tpu", "harvard_sentences.txt")
+    with open(path) as f:
+        lines = f.readlines()
+    for i, text in enumerate(lines):
+        if i % 11 == 0:
+            continue  # list headers
+        if i / 11 > 3:
+            break
+        text = " ".join(text.split()[1:])
+        out = "%s-h%d-%d" % (base_path, int(i / 11), i % 11)
+        _synthesize_to(synth, cfg, text, out, args.speaker)
+
+
+def run_eval(args, cfg) -> None:
+    synth = Synthesizer(cfg)
+    synth.load(args.checkpoint, args.model, step=args.checkpoint_step)
+    step = args.checkpoint_step if args.checkpoint_step is not None else "latest"
+    base_path = os.path.join(args.output_dir or os.path.dirname(args.checkpoint),
+                             "eval-%s" % step)
+    simple_eval(args, synth, cfg, base_path)
+    if not args.skip_harvard:
+        harvard_eval(args, synth, cfg, base_path)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True,
+                        help="Checkpoint directory (log_dir/<run>/ckpt)")
+    parser.add_argument("--checkpoint-step", type=int, default=None)
+    parser.add_argument("--model", default="taco1")
+    parser.add_argument("--hparams", default="")
+    parser.add_argument("--speaker", type=int, default=-1)
+    parser.add_argument("--num-speakers", type=int, default=None,
+                        help="Speaker count the checkpoint was trained with")
+    parser.add_argument("--output-dir", default=None)
+    parser.add_argument("--skip-harvard", action="store_true")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+    from nspeech_tpu.utils.platform import set_platform
+
+    set_platform(args.platform)
+    cfg = config.load_config(args.model)
+    cfg.parse(args.hparams)
+    if args.num_speakers is not None:
+        cfg.num_speakers = args.num_speakers
+    run_eval(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

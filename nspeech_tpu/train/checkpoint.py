@@ -34,15 +34,27 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
-        """Restore into the structure of ``state_like`` (an initialized
-        TrainState provides the tree/shape template)."""
+    def restore(self, state_like: TrainState, step: Optional[int] = None,
+                sharding=None) -> TrainState:
+        """Restore into the structure of ``state_like`` (an initialized or
+        eval_shape'd TrainState provides the tree/shape template).
+
+        Target shardings are forced to ``sharding`` (default: replicated on
+        the current default device), so checkpoints restore cleanly across
+        topologies — e.g. TPU-trained weights into a CPU eval process.
+        """
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("No checkpoint found")
-        template = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, state_like._asdict())
+        if sharding is None:
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def to_template(x):
+            sds = ocp.utils.to_shape_dtype_struct(x)
+            return jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=sharding)
+
+        template = jax.tree_util.tree_map(to_template, state_like._asdict())
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         return TrainState(**restored)

@@ -1,0 +1,104 @@
+"""Shared training-run skeleton for the CLI trainers.
+
+Reproduces the reference step-loop contract (reference: train.py:78-130):
+per-step log line with sec/step and 100-step windows, loss-explosion guard
+(>100 or NaN aborts with a Slack alert), periodic metric summaries,
+periodic checkpoints with artifact dumps — on top of the jitted
+data-parallel step functions, with automatic latest-checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+
+from nspeech_tpu.parallel import make_mesh, shard_batch
+from nspeech_tpu.train.checkpoint import CheckpointManager
+from nspeech_tpu.train.loop import TrainState
+from nspeech_tpu.utils import ValueWindow
+from nspeech_tpu.utils.infolog import log
+from nspeech_tpu.utils.metrics import MetricWriter
+
+
+def pick_mesh(batch_size: int):
+    """Data-parallel mesh over all devices when the batch divides evenly,
+    else fall back to single-device (degenerate mesh)."""
+    n = len(jax.devices())
+    if n > 1 and batch_size % n == 0:
+        return make_mesh()
+    return None
+
+
+def run_training(
+    log_dir: str,
+    state: TrainState,
+    step_fn: Callable,
+    batches: Iterator,
+    mesh,
+    rng,
+    checkpoint_interval: int = 1000,
+    summary_interval: int = 1000,
+    max_steps: Optional[int] = None,
+    artifact_fn: Optional[Callable] = None,
+    restore_step: Optional[int] = None,
+) -> TrainState:
+    """Run the training loop until max_steps (or forever).
+
+    artifact_fn(state, step) is called at every checkpoint interval for
+    audio/plot dumps.
+    """
+    ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
+    if restore_step is not None or ckpt.latest_step() is not None:
+        state = ckpt.restore(state, step=restore_step)
+        log(f"Resumed from checkpoint step {int(state.step)}", slack=True)
+    else:
+        log("Starting new training run", slack=True)
+
+    writer = MetricWriter(log_dir)
+    time_window, loss_window = ValueWindow(100), ValueWindow(100)
+
+    try:
+        for batch in batches:
+            start = time.time()
+            data = shard_batch(batch, mesh) if mesh is not None else batch
+            step_rng = jax.random.fold_in(rng, int(state.step))
+            state, metrics = step_fn(state, data, step_rng)
+            loss = float(metrics["loss"])  # device sync point
+            step = int(state.step)
+            time_window.append(time.time() - start)
+            loss_window.append(loss)
+
+            log("Step %-7d [%.03f sec/step, loss=%.05f, avg_loss=%.05f]" % (
+                step, time_window.average, loss, loss_window.average),
+                slack=(step % checkpoint_interval == 0))
+
+            if loss > 100 or math.isnan(loss):
+                log("Loss exploded to %.05f at step %d!" % (loss, step),
+                    slack=True)
+                raise RuntimeError("Loss exploded")
+
+            if step % summary_interval == 0:
+                writer.scalars(step, {k: float(v) for k, v in metrics.items()})
+
+            if step % checkpoint_interval == 0:
+                log("Saving checkpoint at step %d" % step)
+                ckpt.save(step, state)
+                if artifact_fn is not None:
+                    try:
+                        artifact_fn(state, step)
+                    except Exception as e:  # artifacts must not kill training
+                        log("Artifact dump failed: %s" % e)
+
+            if max_steps is not None and step >= max_steps:
+                log("Reached max steps (%d); saving final checkpoint" % step)
+                ckpt.save(step, state)
+                break
+    finally:
+        ckpt.wait()
+        ckpt.close()
+        writer.close()
+    return state

@@ -1,0 +1,97 @@
+"""End-to-end integration (SURVEY.md §4.3): synthetic corpus ->
+train -> checkpoint -> restore -> synthesize on CPU, plus the demo server
+route contract (§4.5) through a WSGI test client."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import nspeech_tpu.config as config
+from nspeech_tpu.data.feeder import DataFeeder
+from nspeech_tpu.models import create_model
+from nspeech_tpu.serving import Synthesizer
+from nspeech_tpu.train import (
+    CheckpointManager,
+    create_state,
+    make_optimizer,
+)
+from nspeech_tpu.train.loop import build_tacotron_train_step
+from tests.make_synth_corpus import make_corpus
+
+
+def micro_cfg():
+    cfg = config.load_config("taco1")
+    cfg.parse(
+        "batch_size=2,batch_group_size=2,max_iters=3,encoder_cbhg_banks=1,"
+        "post_cbhg_banks=1,attention_dim=16,decoder_dim=16,embedding_dim=16,"
+        "griffin_lim_iters=2")
+    cfg.encoder_prenet = [16, 16]
+    cfg.encoder_cbhg_bank_sizes = [16]
+    cfg.post_cbhg_bank_sizes = [80]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return make_corpus(str(tmp_path_factory.mktemp("corpus")), n=4)
+
+
+def test_train_checkpoint_restore_synthesize(corpus, tmp_path):
+    cfg = micro_cfg()
+    feeder = DataFeeder({"ljspeech": corpus}, cfg, seed=1,
+                        bucket_text=16, bucket_frames=15)
+    cfg.num_speakers = feeder.num_speakers
+
+    model = create_model("taco1", cfg)
+    tx, schedule = make_optimizer(cfg, "taco1")
+    step_fn = build_tacotron_train_step(model, tx, schedule=schedule)
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+
+    losses = []
+    it = feeder.epoch_batches(0)
+    batch = next(it)
+    for i in range(3):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    mgr.close()
+
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.load(ckpt_dir, "taco1")
+    wav, mel, lin = synth.synthesize("hello world")
+    assert wav.ndim == 1 and len(wav) > 0
+    assert mel.shape == (cfg.max_iters * cfg.outputs_per_step, 80)
+    assert lin.shape[1] == 1025
+    assert np.isfinite(wav).all()
+
+    # The server contract on top of the same synthesizer (no socket needed).
+    from demo_server import make_app
+
+    app = make_app(synth, cfg)
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app({"PATH_INFO": "/synthesize",
+                         "QUERY_STRING": "text=hi"}, start_response))
+    assert captured["status"] == "200 OK"
+    assert captured["headers"]["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+
+    body = b"".join(app({"PATH_INFO": "/synthesize", "QUERY_STRING": ""},
+                        start_response))
+    assert captured["status"].startswith("400")
+    body = b"".join(app({"PATH_INFO": "/", "QUERY_STRING": ""}, start_response))
+    assert captured["status"] == "200 OK" and b"<html" in body.lower()
+    body = b"".join(app({"PATH_INFO": "/zzz", "QUERY_STRING": ""}, start_response))
+    assert captured["status"].startswith("404")

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Tacotron trainer CLI.
+
+Same surface as the reference trainer (reference: train.py:133-164 —
+--ljspeech/--vctk/--librispeech inputs, --model, --hparams k=v overrides,
+--restore-step, intervals, --slack-url) driving the TPU-native stack: a
+jitted data-parallel train step over a device mesh, Orbax checkpoints with
+auto-resume, JSONL/TensorBoard metrics, and periodic audio/plot artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+import nspeech_tpu.config as config
+from nspeech_tpu import dsp
+from nspeech_tpu.data.feeder import DataFeeder
+from nspeech_tpu.models import create_model
+from nspeech_tpu.text import sequence_to_text
+from nspeech_tpu.text.cmudict import CMUDict
+from nspeech_tpu.train import create_state, make_optimizer
+from nspeech_tpu.train.loop import build_tacotron_train_step
+from nspeech_tpu.train.runner import pick_mesh, run_training
+from nspeech_tpu.utils import infolog, plot, time_string
+from nspeech_tpu.utils.infolog import log
+
+
+def prepare_input_paths(args) -> dict:
+    input_paths = {}
+    if args.vctk:
+        input_paths["vctk"] = args.vctk
+    if args.ljspeech:
+        input_paths["ljspeech"] = args.ljspeech
+    if args.librispeech:
+        input_paths["librispeech"] = args.librispeech
+    return input_paths
+
+
+def train(log_dir: str, args, cfg) -> None:
+    log("Checkpoint dir: %s" % os.path.join(log_dir, "ckpt"))
+    log("Using model: %s" % args.model)
+    log(config.debug_string(cfg))
+
+    cmudict = None
+    if cfg.use_cmudict and args.cmudict_path:
+        cmudict = CMUDict(args.cmudict_path, keep_ambiguous=False)
+        log("Loaded CMUDict with %d unambiguous entries" % len(cmudict))
+
+    feeder = DataFeeder(
+        prepare_input_paths(args), cfg, cache_dir=args.cache_dir,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+        seed=args.seed, cmudict=cmudict)
+    cfg.num_speakers = feeder.num_speakers  # startup mutation contract
+    log("Loaded %d examples / %d speakers" % (
+        len(feeder._items), feeder.num_speakers))
+
+    model = create_model(args.model, cfg)
+    tx, schedule = make_optimizer(cfg, args.model)
+    mesh = pick_mesh(cfg.batch_size)
+    if mesh is not None:
+        log("Data-parallel over %d devices" % mesh.devices.size)
+    step_fn = build_tacotron_train_step(model, tx, mesh=mesh, schedule=schedule)
+    state = create_state(model, tx, jax.random.PRNGKey(args.seed))
+
+    batches = feeder.batches()
+    preview = [None]  # first batch, captured for artifact dumps
+
+    def wrapped_batches():
+        for b in batches:
+            if preview[0] is None:
+                preview[0] = b
+            yield b
+
+    @jax.jit
+    def preview_fn(params, bn_state, inputs, lengths, speakers, mels):
+        outputs, _ = model.forward(
+            params, bn_state, inputs, lengths, speaker_ids=speakers,
+            mel_targets=mels, is_training=False)
+        wav = dsp.inv_spectrogram(outputs["linear_outputs"][0], cfg)
+        return (outputs["linear_outputs"][0], outputs["mel_outputs"][0],
+                outputs["alignments"][0], wav)
+
+    def artifact_fn(state, step):
+        b = preview[0]
+        if b is None:
+            return
+        lin, mel, align, wav = preview_fn(
+            state.params, state.bn_state, b.inputs[:1], b.input_lengths[:1],
+            b.speaker_ids[:1], b.mel_targets[:1])
+        wav = np.asarray(dsp.inv_preemphasis(wav, cfg.preemphasis))
+        wav = wav[: dsp.find_endpoint(wav, cfg)]
+        base = os.path.join(log_dir, "step-%06d" % step)
+        dsp.save_wav(wav, base + "-audio.wav", cfg.sample_rate)
+        text = sequence_to_text(np.asarray(b.inputs[0]))
+        plot.plot_alignment(np.asarray(align), base + "-align.png",
+                            info="%s, %s, step=%d" % (args.model, time_string(), step))
+        plot.plot_wave(wav, cfg.sample_rate, base + "-wav.png", text)
+        plot.plot_specgram(np.asarray(lin), base + "-lin.png", "linear")
+        plot.plot_specgram(np.asarray(mel), base + "-mel.png", "mel")
+        log("Dumped artifacts for step %d (input: %s)" % (step, text))
+
+    run_training(
+        log_dir, state, step_fn, wrapped_batches(), mesh,
+        jax.random.PRNGKey(args.seed + 1),
+        checkpoint_interval=args.checkpoint_interval,
+        summary_interval=args.summary_interval,
+        max_steps=args.max_steps,
+        artifact_fn=artifact_fn,
+        restore_step=args.restore_step,
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--log-dir", default=os.path.expanduser("logs"))
+    parser.add_argument("--vctk", default="")
+    parser.add_argument("--ljspeech", default="", help="LJSpeech-layout corpus dir")
+    parser.add_argument("--librispeech", default="", help="corpus.csv-layout dir")
+    parser.add_argument("--model", default="taco1")
+    parser.add_argument("--name", help="Run name (defaults to model name)")
+    parser.add_argument("--hparams", default="",
+                        help="Comma-separated name=value overrides")
+    parser.add_argument("--restore-step", type=int,
+                        help="Checkpoint step to restore (default: latest)")
+    parser.add_argument("--summary-interval", type=int, default=1000)
+    parser.add_argument("--checkpoint-interval", type=int, default=1000)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--slack-url", help="Slack webhook for run reports")
+    parser.add_argument("--cache-dir", default=None,
+                        help="On-disk feature cache directory")
+    parser.add_argument("--cmudict-path", default=None,
+                        help="cmudict-0.7b file for ARPAbet substitution")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None,
+                        help="Force JAX backend (e.g. cpu) for smoke runs")
+    parser.add_argument("--git", action="store_true",
+                        help="Verify the working tree is clean")
+    return parser
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    from nspeech_tpu.utils.platform import set_platform
+
+    set_platform(args.platform)
+    run_name = args.name or args.model
+    log_dir = os.path.join(args.log_dir, run_name)
+    os.makedirs(log_dir, exist_ok=True)
+    infolog.init(os.path.join(log_dir, "train.log"), run_name, args.slack_url)
+    if args.git:
+        from nspeech_tpu.utils import get_git_commit
+
+        get_git_commit()
+    cfg = config.load_config(args.model)
+    cfg.parse(args.hparams)
+    train(log_dir, args, cfg)
+
+
+if __name__ == "__main__":
+    main()
