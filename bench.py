@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: Tacotron-2 training throughput in mel frames/sec/chip on the
+default backend (the real TPU when available). Baseline target: 10,000
+frames/sec/chip on v5e (BASELINE.md); ``vs_baseline`` is value/10000.
+
+Extra metrics (WaveNet sampling rate, etc.) can be printed with --all;
+the driver consumes only the first/default line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
+                      steps: int = 10):
+    import nspeech_tpu.config as config
+    from nspeech_tpu.data.feeder import Batch
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.train import create_state, make_optimizer
+    from nspeech_tpu.train.loop import build_tacotron_train_step
+    from nspeech_tpu.train.runner import pick_mesh
+
+    cfg = config.load_config("taco2")
+    cfg.batch_size = batch_size
+    model = create_model("taco2", cfg)
+    tx, schedule = make_optimizer(cfg, "taco2")
+    mesh = pick_mesh(batch_size)
+    step_fn = build_tacotron_train_step(model, tx, mesh=mesh, schedule=schedule)
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        inputs=jnp.asarray(rng.integers(2, 60, (batch_size, t_in)), jnp.int32),
+        input_lengths=jnp.asarray([t_in] * batch_size, jnp.int32),
+        speaker_ids=jnp.zeros((batch_size,), jnp.int32),
+        mel_targets=jnp.asarray(rng.random((batch_size, t_out, cfg.num_mels)),
+                                jnp.float32),
+        linear_targets=jnp.asarray(rng.random((batch_size, t_out, cfg.num_freq)),
+                                   jnp.float32),
+        audio=jnp.zeros((batch_size, 16), jnp.float32),
+    )
+    if mesh is not None:
+        from nspeech_tpu.parallel import shard_batch
+
+        batch = shard_batch(batch, mesh)
+
+    key = jax.random.PRNGKey(1)
+    # Warmup / compile.
+    state, metrics = step_fn(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    start = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    n_chips = len(jax.devices())
+    frames = batch_size * t_out * steps
+    return frames / elapsed / n_chips, elapsed / steps
+
+
+def bench_wavenet_generate(n_samples: int = 4000):
+    import nspeech_tpu.config as config
+    from nspeech_tpu.models.wavenet import WaveNet
+
+    cfg = config.load_config("wavenet")
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    # Warmup (compile)
+    out = net.generate(params, n_samples, key, batch=1)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    out = net.generate(params, n_samples, key, batch=1)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+    rate = n_samples / elapsed
+    return rate, rate / cfg.sample_rate
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--all", action="store_true",
+                        help="Also print secondary metrics")
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=32)
+    args = parser.parse_args()
+
+    frames_per_sec, sec_per_step = bench_taco2_train(
+        batch_size=args.batch_size, steps=args.steps)
+    print(json.dumps({
+        "metric": "taco2_train_mel_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(frames_per_sec / 10000.0, 3),
+    }))
+
+    if args.all:
+        rate, rtf = bench_wavenet_generate()
+        print(json.dumps({
+            "metric": "wavenet_generate_samples_per_sec",
+            "value": round(rate, 1),
+            "unit": "samples/sec",
+            "vs_baseline": round(rtf / 5.0, 4),  # target: 5x real time
+        }))
+        print(json.dumps({
+            "metric": "taco2_sec_per_step",
+            "value": round(sec_per_step, 4),
+            "unit": "sec",
+            "vs_baseline": None,
+        }))
+
+
+if __name__ == "__main__":
+    main()
