@@ -1,0 +1,268 @@
+"""Pallas TPU kernel: WaveNet autoregressive sampling, fully VMEM-resident.
+
+The entire generation loop runs inside ONE kernel launch: all weights
+(~5 MB at the default 50-layer config), the per-layer dilation ring
+buffers, and the sampling state live in VMEM for the whole utterance, so
+each of the ~10^5 sequential samples costs only the serial compute chain —
+no HBM traffic, no per-step dispatch. This is the TPU replacement for the
+reference's one-session-call-per-sample queue generator
+(reference: generate_wavenet.py:109-122, wavenet.py:487-557).
+
+Kernel design rules (learned the hard way — dynamic sublane indexing and
+vector->scalar extraction lower to very slow code on TPU):
+- NO dynamic indexing anywhere: weight "gathers" for the one-hot input are
+  [1, Q] x [Q, R] matmuls against a one-hot kept as a vector; ring-buffer
+  reads/writes are iota-mask selects over each layer's statically-sliced
+  segment of one flat [sum(dilations), R] buffer;
+- the sampled code never leaves vector registers: the next input one-hot is
+  computed as (scores == max(scores)) and the emitted integer code as a
+  masked iota reduction;
+- the four gate matmuls per layer (filter/gate x current/state taps) fuse
+  into one [1, 2R] @ [2R, 2DC] matmul; the 50 skip matmuls are DEFERRED:
+  gated activations accumulate into a [L, DC] scratch and one
+  [1, L*DC] @ [L*DC, S] matmul at the end replaces 50 serial ones (only
+  the dense path is in the sequential dependence chain);
+- global conditioning is constant over the utterance, so gc @ W_gc folds
+  into per-layer biases computed outside the kernel.
+
+Local conditioning is not yet supported here (models/wavenet.py's lax.scan
+generator handles lc); batch is 1 (serving-latency path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
+    """Restructure WaveNet params into the kernel's fused layout."""
+    R, DC, S = net.residual_channels, net.dilation_channels, net.skip_channels
+    gc_vec = None
+    if gc_ids is not None and net.gc_channels:
+        gc_vec = jnp.take(params["gc_embedding"], gc_ids[0], axis=0)
+
+    wfg, bfg, wdense, bdense, wskip, bskip = [], [], [], [], [], []
+    for lp in params["layers"]:
+        f, g = lp["filter"], lp["gate"]  # [2, R, DC]; tap 0 = past/state
+        w = jnp.concatenate([
+            jnp.concatenate([f[1], g[1]], axis=1),   # current-tap rows
+            jnp.concatenate([f[0], g[0]], axis=1),   # state-tap rows
+        ], axis=0)                                    # [2R, 2DC]
+        wfg.append(w)
+        b = jnp.zeros((2 * DC,))
+        if gc_vec is not None:
+            b = b + jnp.concatenate([
+                gc_vec @ lp["gc_filter"][0], gc_vec @ lp["gc_gate"][0]])
+        if net.use_biases:
+            b = b + jnp.concatenate([lp["filter_bias"], lp["gate_bias"]])
+        bfg.append(b)
+        wdense.append(lp["dense"][0])                 # [DC, R]
+        bdense.append(lp.get("dense_bias", jnp.zeros((R,))))
+        wskip.append(lp["skip"][0])                   # [DC, S]
+        bskip.append(lp.get("skip_bias", jnp.zeros((S,))))
+
+    L = len(wfg)
+    packed = {
+        "wc": jnp.concatenate([params["causal"][1], params["causal"][0]],
+                              axis=0),               # [2Q, R]: [cur; past]
+        "wfg": jnp.stack(wfg),                       # [L, 2R, 2DC]
+        "bfg": jnp.stack(bfg)[:, None, :],           # [L, 1, 2DC]
+        "wdense": jnp.stack(wdense),                 # [L, DC, R]
+        "bdense": jnp.stack(bdense)[:, None, :],     # [L, 1, R]
+        # stacked skip: one [L*DC, S] matmul applies all layers at once
+        "wskip": jnp.concatenate(wskip, axis=0),     # [L*DC, S]
+        "bskip": sum(bskip)[None, :],                # [1, S]
+        "post1": params["post1"][0],                 # [S, S]
+        "post2": params["post2"][0],                 # [S, Q]
+        "b1": (params.get("post1_bias", jnp.zeros((S,))))[None, :],
+        "b2": (params.get("post2_bias",
+                          jnp.zeros((net.quantization_channels,))))[None, :],
+    }
+    return jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), packed)
+
+
+def _make_kernel(net, total_steps: int, prime_len: int, temperature: float,
+                 deterministic: bool):
+    L = len(net.dilations)
+    dilations = list(net.dilations)
+    offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).astype(int)
+    total_d = int(sum(dilations))
+    R, DC, S, Q = (net.residual_channels, net.dilation_channels,
+                   net.skip_channels, net.quantization_channels)
+    n_rows = _round_up(total_steps, LANE) // LANE
+    inv_temp = 1.0 / max(temperature, 1e-6)
+
+    def kernel(seed_ref, forced_ref,
+               wc_ref, wfg_ref, bfg_ref, wdense_ref, bdense_ref,
+               wskip_ref, bskip_ref, post1_ref, post2_ref, b1_ref, b2_ref,
+               out_ref, ring_ref, onehot_ref, gated_ref):
+        # onehot_ref: [2, Q] — row 0: current input one-hot, row 1: previous.
+        # gated_ref: [L, DC] gated activations, consumed by one skip matmul.
+        if not deterministic:
+            pltpu.prng_seed(seed_ref[0])
+        ring_ref[:] = jnp.zeros_like(ring_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+        # Row 0: first free-running input = mid-scale silence code
+        # (generate_wavenet.py:88). Row 1: previous input (zeros at t=0 —
+        # the reference queues start zeroed, wavenet.py:499-531).
+        onehot_ref[0:1, :] = (q_iota == Q // 2).astype(jnp.float32)
+        onehot_ref[1:2, :] = jnp.zeros((1, Q), jnp.float32)
+        out_row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANE), 0)
+        out_lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANE), 1)
+
+        def step(t, carry):
+            # --- input one-hot ------------------------------------------
+            if prime_len > 0:
+                forced_code = jnp.sum(
+                    jnp.where((out_row_iota == t // LANE)
+                              & (out_lane_iota == t % LANE),
+                              forced_ref[:], 0))
+                use_forced = (t < prime_len).astype(jnp.float32)
+                forced_onehot = (q_iota == forced_code).astype(jnp.float32)
+                cur_onehot = (use_forced * forced_onehot
+                              + (1.0 - use_forced) * onehot_ref[0:1, :])
+            else:
+                cur_onehot = onehot_ref[0:1, :]
+
+            prev_onehot = onehot_ref[1:2, :]
+            onehot_ref[1:2, :] = cur_onehot
+
+            # --- causal layer: [1, 2Q] @ [2Q, R] ------------------------
+            x2 = jnp.concatenate([cur_onehot, prev_onehot], axis=1)
+            cur = jnp.dot(x2, wc_ref[:], preferred_element_type=jnp.float32)
+
+            # --- dilated stack (serial chain: gates + dense only) -------
+            for i in range(L):
+                d = dilations[i]
+                seg = ring_ref[int(offsets[i]): int(offsets[i]) + d, :]
+                if d == 1:
+                    state = seg
+                    ring_ref[int(offsets[i]): int(offsets[i]) + d, :] = cur
+                else:
+                    slot = jax.lax.bitwise_and(t, d - 1)  # d is a power of 2
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (d, R), 0)
+                    mask = rows == slot
+                    state = jnp.sum(jnp.where(mask, seg, 0.0), axis=0,
+                                    keepdims=True)
+                    ring_ref[int(offsets[i]): int(offsets[i]) + d, :] = (
+                        jnp.where(mask, cur, seg))
+                xin = jnp.concatenate([cur, state], axis=1)     # [1, 2R]
+                fg = jnp.dot(xin, wfg_ref[i],
+                             preferred_element_type=jnp.float32) + bfg_ref[i]
+                gated = jnp.tanh(fg[:, :DC]) * jax.nn.sigmoid(fg[:, DC:])
+                gated_ref[0:1, i * DC:(i + 1) * DC] = gated
+                cur = cur + jnp.dot(gated, wdense_ref[i],
+                                    preferred_element_type=jnp.float32) \
+                    + bdense_ref[i]
+
+            # --- all 50 skip contributions in one matmul -----------------
+            skips = jnp.dot(gated_ref[:], wskip_ref[:],
+                            preferred_element_type=jnp.float32) + bskip_ref[:]
+
+            h = jnp.maximum(skips, 0.0)
+            h = jnp.maximum(
+                jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32)
+                + b1_ref[:], 0.0)
+            logits = jnp.dot(h, post2_ref[:],
+                             preferred_element_type=jnp.float32) + b2_ref[:]
+
+            if deterministic:
+                scores = logits
+            else:
+                bits = pltpu.prng_random_bits((1, Q))
+                # uint32->f32 unsupported in Mosaic; >>8 fits in int32/24 bits
+                u = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                ).astype(jnp.float32)
+                u = u * (1.0 / (1 << 24)) + 1e-10
+                gumbel = -jnp.log(-jnp.log(u))
+                scores = logits * inv_temp + gumbel
+
+            # --- sample without leaving vector registers ----------------
+            best = jnp.max(scores, axis=1, keepdims=True)
+            # break ties toward the smallest index, like argmax
+            code = jnp.min(jnp.where(scores == best, q_iota, Q))
+            onehot_ref[0:1, :] = (q_iota == code).astype(jnp.float32)
+
+            out_ref[:] = jnp.where(
+                (out_row_iota == t // LANE) & (out_lane_iota == t % LANE),
+                code, out_ref[:])
+            return carry
+
+        jax.lax.fori_loop(0, total_steps, step, jnp.int32(0), unroll=False)
+
+    out_shape = jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32)
+    scratch = [
+        pltpu.VMEM((total_d, R), jnp.float32),   # ring buffers (flat)
+        pltpu.VMEM((2, Q), jnp.float32),         # current/previous one-hot
+        pltpu.VMEM((1, L * DC), jnp.float32),    # gated activations (lanes)
+    ]
+    return kernel, out_shape, scratch, n_rows
+
+
+def generate_pallas(
+    net,
+    params,
+    n_samples: int,
+    seed: int = 0,
+    gc_ids: Optional[jnp.ndarray] = None,
+    seed_codes: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    deterministic: bool = False,
+    interpret: bool = False,
+):
+    """Generate mu-law codes [1, n_samples] with the VMEM-resident kernel.
+
+    ``deterministic=True`` replaces Gumbel sampling with argmax (used for
+    equivalence tests against the lax.scan generator).
+    """
+    if net.scalar_input or net.filter_width != 2:
+        raise NotImplementedError("Pallas generator: one-hot filter_width=2 only")
+    if net.lc_channels:
+        raise NotImplementedError(
+            "Pallas generator does not support local conditioning yet; "
+            "use WaveNet.generate (lax.scan path)")
+
+    prime_len = 0 if seed_codes is None else int(seed_codes.shape[1])
+    total = prime_len + n_samples
+    packed = pack_params(net, params, gc_ids)
+
+    kernel, out_shape, scratch, n_rows = _make_kernel(
+        net, total, prime_len, temperature, deterministic)
+
+    forced = np.zeros((n_rows * LANE,), np.int32)
+    if seed_codes is not None:
+        forced[:prime_len] = np.asarray(seed_codes)[0]
+    forced = jnp.asarray(forced.reshape(n_rows, LANE))
+
+    fn = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+    out = fn(
+        jnp.asarray([seed], jnp.int32), forced,
+        packed["wc"], packed["wfg"], packed["bfg"], packed["wdense"],
+        packed["bdense"], packed["wskip"], packed["bskip"],
+        packed["post1"], packed["post2"], packed["b1"], packed["b2"],
+    )
+    codes = out.reshape(-1)[prime_len: prime_len + n_samples]
+    return codes[None, :]

@@ -1,0 +1,79 @@
+"""Pallas WaveNet sampler: interpret-mode equivalence against the lax.scan
+generator (which itself is proven equivalent to the full network in
+test_models.py), primed and unprimed, with and without global conditioning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nspeech_tpu.config import load_config
+from nspeech_tpu.models.wavenet import WaveNet
+from nspeech_tpu.ops.pallas.wavenet_gen import generate_pallas, pack_params
+
+
+def tiny_net(extra=""):
+    cfg = load_config("wavenet")
+    cfg.parse("dilations_length=3,dilations_depth=2,residual_channels=8,"
+              "dilation_channels=8,skip_channels=16,quantization_channels=128,"
+              "batch_size=1" + ("," + extra if extra else ""))
+    return WaveNet(cfg)
+
+
+def test_pallas_matches_scan_primed(rng):
+    net = tiny_net()
+    params = net.init(jax.random.PRNGKey(0))
+    seed_codes = jnp.array(rng.integers(0, 128, (1, net.receptive_field + 4)),
+                           jnp.int32)
+    scan_out = np.asarray(net.generate(
+        params, 25, jax.random.PRNGKey(1), batch=1, seed_codes=seed_codes,
+        temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(
+        net, params, 25, seed_codes=seed_codes, deterministic=True,
+        interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)
+
+
+def test_pallas_matches_scan_unprimed(rng):
+    net = tiny_net()
+    params = net.init(jax.random.PRNGKey(0))
+    scan_out = np.asarray(net.generate(params, 25, jax.random.PRNGKey(1),
+                                       batch=1, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(net, params, 25,
+                                            deterministic=True, interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)
+
+
+def test_pallas_global_conditioning(rng):
+    net = tiny_net("gc_channels=4,gc_category_cardinality=3")
+    params = net.init(jax.random.PRNGKey(0))
+    gc = jnp.array([2], jnp.int32)
+    scan_out = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1),
+                                       batch=1, gc_ids=gc, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(net, params, 20, gc_ids=gc,
+                                            deterministic=True, interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)
+    # different speaker -> (almost surely) different stream
+    scan_other = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1),
+                                         batch=1, gc_ids=jnp.array([0]),
+                                         temperature=1e-5))
+    assert not np.array_equal(scan_out, scan_other)
+
+
+def test_pack_params_shapes():
+    net = tiny_net()
+    params = net.init(jax.random.PRNGKey(0))
+    packed = pack_params(net, params)
+    L, R, DC, S, Q = 6, 8, 8, 16, 128
+    assert packed["wc"].shape == (2 * Q, R)
+    assert packed["wfg"].shape == (L, 2 * R, 2 * DC)
+    assert packed["wdense"].shape == (L, DC, R)
+    assert packed["wskip"].shape == (L * DC, S)
+    assert packed["post2"].shape == (S, Q)
+
+
+def test_pallas_rejects_lc():
+    net = tiny_net("lc_channels=5")
+    params = net.init(jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError):
+        generate_pallas(net, params, 10, interpret=True)
