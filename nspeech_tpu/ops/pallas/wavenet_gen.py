@@ -214,6 +214,65 @@ def _make_kernel(net, total_steps: int, prime_len: int, temperature: float,
     return kernel, out_shape, scratch, n_rows
 
 
+class PallasWaveNetGenerator:
+    """Reusable generator: params are packed once and the kernel compiled
+    once per (n_samples, prime_len, temperature) signature, so repeated
+    calls pay only the kernel launch."""
+
+    def __init__(self, net, params, gc_ids: Optional[jnp.ndarray] = None,
+                 interpret: bool = False):
+        if net.scalar_input or net.filter_width != 2:
+            raise NotImplementedError(
+                "Pallas generator: one-hot filter_width=2 only")
+        if net.lc_channels:
+            raise NotImplementedError(
+                "Pallas generator does not support local conditioning yet; "
+                "use WaveNet.generate (lax.scan path)")
+        self.net = net
+        self.interpret = interpret
+        self.packed = pack_params(net, params, gc_ids)
+        self.packed = jax.tree_util.tree_map(jnp.asarray, self.packed)
+        self._fns: dict = {}
+
+    def _get_fn(self, total: int, prime_len: int, temperature: float,
+                deterministic: bool):
+        key = (total, prime_len, temperature, deterministic)
+        if key not in self._fns:
+            kernel, out_shape, scratch, n_rows = _make_kernel(
+                self.net, total, prime_len, temperature, deterministic)
+            fn = pl.pallas_call(
+                kernel,
+                out_shape=out_shape,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+                interpret=self.interpret,
+            )
+            self._fns[key] = (jax.jit(fn), n_rows)
+        return self._fns[key]
+
+    def __call__(self, n_samples: int, seed: int = 0,
+                 seed_codes: Optional[jnp.ndarray] = None,
+                 temperature: float = 1.0,
+                 deterministic: bool = False) -> jnp.ndarray:
+        prime_len = 0 if seed_codes is None else int(seed_codes.shape[1])
+        total = prime_len + n_samples
+        fn, n_rows = self._get_fn(total, prime_len, temperature, deterministic)
+
+        forced = np.zeros((n_rows * LANE,), np.int32)
+        if seed_codes is not None:
+            forced[:prime_len] = np.asarray(seed_codes)[0]
+        forced = jnp.asarray(forced.reshape(n_rows, LANE))
+
+        p = self.packed
+        out = fn(jnp.asarray([seed], jnp.int32), forced,
+                 p["wc"], p["wfg"], p["bfg"], p["wdense"], p["bdense"],
+                 p["wskip"], p["bskip"], p["post1"], p["post2"],
+                 p["b1"], p["b2"])
+        return out.reshape(-1)[prime_len: prime_len + n_samples][None, :]
+
+
 def generate_pallas(
     net,
     params,
@@ -225,44 +284,11 @@ def generate_pallas(
     deterministic: bool = False,
     interpret: bool = False,
 ):
-    """Generate mu-law codes [1, n_samples] with the VMEM-resident kernel.
+    """One-shot convenience wrapper around PallasWaveNetGenerator.
 
     ``deterministic=True`` replaces Gumbel sampling with argmax (used for
     equivalence tests against the lax.scan generator).
     """
-    if net.scalar_input or net.filter_width != 2:
-        raise NotImplementedError("Pallas generator: one-hot filter_width=2 only")
-    if net.lc_channels:
-        raise NotImplementedError(
-            "Pallas generator does not support local conditioning yet; "
-            "use WaveNet.generate (lax.scan path)")
-
-    prime_len = 0 if seed_codes is None else int(seed_codes.shape[1])
-    total = prime_len + n_samples
-    packed = pack_params(net, params, gc_ids)
-
-    kernel, out_shape, scratch, n_rows = _make_kernel(
-        net, total, prime_len, temperature, deterministic)
-
-    forced = np.zeros((n_rows * LANE,), np.int32)
-    if seed_codes is not None:
-        forced[:prime_len] = np.asarray(seed_codes)[0]
-    forced = jnp.asarray(forced.reshape(n_rows, LANE))
-
-    fn = pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )
-    out = fn(
-        jnp.asarray([seed], jnp.int32), forced,
-        packed["wc"], packed["wfg"], packed["bfg"], packed["wdense"],
-        packed["bdense"], packed["wskip"], packed["bskip"],
-        packed["post1"], packed["post2"], packed["b1"], packed["b2"],
-    )
-    codes = out.reshape(-1)[prime_len: prime_len + n_samples]
-    return codes[None, :]
+    gen = PallasWaveNetGenerator(net, params, gc_ids, interpret=interpret)
+    return gen(n_samples, seed=seed, seed_codes=seed_codes,
+               temperature=temperature, deterministic=deterministic)

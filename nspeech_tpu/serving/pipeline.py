@@ -1,0 +1,90 @@
+"""End-to-end text -> waveform synthesis: Tacotron mels -> WaveNet vocoder.
+
+This is the pipeline the reference could not run: its WaveNet generator
+ignored local conditioning entirely (reference: wavenet.py:398; SURVEY.md
+§2.2 note (c)), so text->waveform via WaveNet was impossible. Here the
+acoustic model's mel output is upsampled to sample rate and drives the
+mel-conditioned WaveNet generator (lax.scan path, which supports lc),
+replacing Griffin-Lim as the vocoder.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from nspeech_tpu.config import Config, stft_params
+from nspeech_tpu import dsp
+from nspeech_tpu.data.wavenet_feeder import upsample_frames
+from nspeech_tpu.serving.synthesizer import Synthesizer
+
+
+class WaveNetVocoder:
+    """Mel spectrogram [T, M] -> waveform via mel-conditioned WaveNet."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.net = None
+        self._params = None
+        _, self._hop, _ = stft_params(cfg)
+
+    def load(self, checkpoint_dir: str, model_name: str = "wavenet",
+             step: Optional[int] = None) -> "WaveNetVocoder":
+        from nspeech_tpu.models import create_model
+        from nspeech_tpu.train import (
+            CheckpointManager, create_state, make_optimizer)
+
+        self.net = create_model(model_name, self.cfg)
+        tx, _ = make_optimizer(self.cfg, model_name)
+        template = jax.eval_shape(
+            lambda: create_state(self.net, tx, jax.random.PRNGKey(0)))
+        mgr = CheckpointManager(checkpoint_dir)
+        state = mgr.restore(template, step=step)
+        mgr.close()
+        self._params = state.params
+        return self
+
+    def set_variables(self, net, params) -> "WaveNetVocoder":
+        self.net = net
+        self._params = params
+        return self
+
+    def vocode(self, mel: np.ndarray, speaker_id: Optional[int] = None,
+               temperature: float = 1.0, seed: int = 0) -> np.ndarray:
+        """mel: [T_frames, M] normalized mel -> float waveform."""
+        if self.net.lc_channels <= 0:
+            raise ValueError(
+                "Vocoder checkpoint was trained without local conditioning "
+                "(lc_channels=0); it cannot follow a mel spectrogram.")
+        n_samples = mel.shape[0] * self._hop
+        lc = upsample_frames(np.asarray(mel), self._hop, n_samples)[None]
+        gc_ids = None
+        if speaker_id is not None and self.net.gc_channels:
+            gc_ids = np.asarray([speaker_id], np.int32)
+        codes = self.net.generate(
+            self._params, n_samples, jax.random.PRNGKey(seed), batch=1,
+            gc_ids=gc_ids, lc=lc, temperature=temperature)
+        return np.asarray(dsp.mu_law_decode(codes[0],
+                                            self.net.quantization_channels))
+
+
+class TextToSpeech:
+    """Full pipeline: text -> (Tacotron) mel -> (WaveNet | Griffin-Lim) wav."""
+
+    def __init__(self, synthesizer: Synthesizer,
+                 vocoder: Optional[WaveNetVocoder] = None):
+        self.synthesizer = synthesizer
+        self.vocoder = vocoder
+
+    def synthesize(self, text: str, speaker_id: int = -1,
+                   temperature: float = 1.0
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        wav_gl, mel, lin = self.synthesizer.synthesize(text, speaker_id)
+        if self.vocoder is None:
+            return wav_gl, mel, lin
+        wav = self.vocoder.vocode(
+            mel, speaker_id if speaker_id >= 0 else None,
+            temperature=temperature)
+        return wav, mel, lin

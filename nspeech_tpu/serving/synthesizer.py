@@ -50,8 +50,13 @@ class Synthesizer:
         self.set_variables(state.params, state.bn_state)
         return self
 
-    def set_variables(self, params, bn_state) -> "Synthesizer":
-        """Use in-memory parameters (e.g. straight from training)."""
+    def set_variables(self, params, bn_state, model=None) -> "Synthesizer":
+        """Use in-memory parameters (e.g. straight from training). Pass
+        ``model`` when load() was not called (it normally builds it)."""
+        if model is not None:
+            self.model = model
+        if self.model is None:
+            raise ValueError("No model: pass model= or call load() first")
         self._params = params
         self._bn_state = bn_state
 

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""End-to-end text -> waveform CLI: Tacotron acoustic model + a choice of
+Griffin-Lim or mel-conditioned WaveNet vocoder (BASELINE config #4 — a
+pipeline the reference could not run, since its WaveNet generator ignored
+local conditioning)."""
+
+from __future__ import annotations
+
+import argparse
+
+import nspeech_tpu.config as config
+from nspeech_tpu import dsp
+from nspeech_tpu.serving import Synthesizer, TextToSpeech, WaveNetVocoder
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True,
+                        help="Acoustic-model checkpoint dir")
+    parser.add_argument("--model", default="taco2")
+    parser.add_argument("--hparams", default="")
+    parser.add_argument("--vocoder-checkpoint", default=None,
+                        help="WaveNet vocoder checkpoint dir (else Griffin-Lim)")
+    parser.add_argument("--vocoder-model", default="wavenet")
+    parser.add_argument("--vocoder-hparams", default="")
+    parser.add_argument("--text", required=True)
+    parser.add_argument("--speaker", type=int, default=-1)
+    parser.add_argument("--num-speakers", type=int, default=None)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--out", default="synth.wav")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+    from nspeech_tpu.utils.platform import set_platform
+
+    set_platform(args.platform)
+
+    cfg = config.load_config(args.model)
+    cfg.parse(args.hparams)
+    if args.num_speakers is not None:
+        cfg.num_speakers = args.num_speakers
+    synth = Synthesizer(cfg).load(args.checkpoint, args.model)
+
+    vocoder = None
+    if args.vocoder_checkpoint:
+        vcfg = config.load_config(args.vocoder_model)
+        vcfg.parse(args.vocoder_hparams)
+        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint,
+                                            args.vocoder_model)
+
+    tts = TextToSpeech(synth, vocoder)
+    wav, mel, lin = tts.synthesize(args.text, args.speaker,
+                                   temperature=args.temperature)
+    dsp.save_wav(wav, args.out, cfg.sample_rate)
+    print("Wrote %s (%.2fs of audio, vocoder=%s)" % (
+        args.out, len(wav) / cfg.sample_rate,
+        "wavenet" if vocoder else "griffin-lim"))
+
+
+if __name__ == "__main__":
+    main()

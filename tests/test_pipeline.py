@@ -1,0 +1,46 @@
+"""End-to-end text -> waveform pipeline test: Tacotron-2 mels driving the
+mel-conditioned WaveNet vocoder (BASELINE config #4)."""
+
+import jax
+import numpy as np
+
+from nspeech_tpu.config import load_config
+from nspeech_tpu.models import create_model
+from nspeech_tpu.serving import Synthesizer, TextToSpeech, WaveNetVocoder
+
+
+def test_text_to_waveform_via_wavenet():
+    # Tiny acoustic model
+    cfg = load_config("taco2")
+    cfg.parse(
+        "max_iters=3,encoder_conv_layers=1,postnet_conv_layers=1,"
+        "expand_conv_layers=1,encoder_conv_channels=16,attention_dim=16,"
+        "postnet_conv_channels=16,expand_conv_channels=16,"
+        "decoder_lstm_units=16,encoder_lstm_units=8,expand_lstm_units=8,"
+        "embedding_dim=16,griffin_lim_iters=1")
+    model = create_model("taco2", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, bn_state, model=model)
+
+    # Tiny mel-conditioned vocoder
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=80,batch_size=1")
+    net = create_model("wavenet", vcfg)
+    vparams = net.init(jax.random.PRNGKey(1))
+    vocoder = WaveNetVocoder(vcfg).set_variables(net, vparams)
+
+    tts = TextToSpeech(synth, vocoder)
+    wav, mel, lin = tts.synthesize("hi there")
+    hop = 250  # 12.5 ms at 20 kHz
+    assert mel.shape == (15, 80)
+    assert wav.shape == (15 * hop,)
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() <= 1.0  # mu-law decoded range
+
+    # Griffin-Lim fallback when no vocoder
+    tts_gl = TextToSpeech(synth, None)
+    wav_gl, _, _ = tts_gl.synthesize("hi there")
+    assert wav_gl.ndim == 1 and np.isfinite(wav_gl).all()
