@@ -55,10 +55,38 @@ def load_librispeech(in_dir: str) -> Iterator[Item]:
             yield os.path.join(in_dir, path), text, speaker_id, "libre"
 
 
+_arctic_line_re = re.compile(r'\(\s*(\S+)\s+"(.*)"\s*\)')
+
+
+def load_arctic(in_dir: str) -> Iterator[Item]:
+    """CMU Arctic layout (as fetched by the reference's
+    scripts/download_arctic.sh): ``cmu_us_<speaker>_arctic/`` directories
+    each holding ``wav/*.wav`` and a festival-format ``etc/txt.done.data``
+    prompt list ``( arctic_a0001 "text" )``."""
+    for spk_dir in sorted(glob.glob(os.path.join(in_dir, "cmu_us_*_arctic"))):
+        m = re.search(r"cmu_us_(\w+)_arctic", os.path.basename(spk_dir))
+        if not m:
+            continue
+        speaker = m.group(1)
+        prompts = os.path.join(spk_dir, "etc", "txt.done.data")
+        if not os.path.isfile(prompts):
+            continue
+        with open(prompts, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                pm = _arctic_line_re.match(line.strip())
+                if not pm:
+                    continue
+                utt_id, text = pm.group(1), pm.group(2)
+                wav_path = os.path.join(spk_dir, "wav", utt_id + ".wav")
+                if os.path.isfile(wav_path):
+                    yield wav_path, text, speaker, "arctic"
+
+
 LOADERS: Dict[str, Callable[[str], Iterator[Item]]] = {
     "ljspeech": load_ljspeech,
     "vctk": load_vctk,
     "librispeech": load_librispeech,
+    "arctic": load_arctic,
 }
 
 

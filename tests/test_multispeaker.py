@@ -1,0 +1,118 @@
+"""Multi-speaker paths (BASELINE config #5): Arctic corpus parsing, speaker
+embeddings through both Tacotron variants, and the dormant-in-the-reference
+CMUDict ARPAbet substitution."""
+
+import io
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nspeech_tpu.config import load_config
+from nspeech_tpu.data.corpus import build_speaker_map, load_arctic
+from nspeech_tpu.models import create_model
+from nspeech_tpu.text.cmudict import CMUDict
+
+
+def make_arctic_corpus(root, speakers=("bdl", "slt")):
+    from scipy.io import wavfile
+
+    for spk in speakers:
+        d = os.path.join(root, f"cmu_us_{spk}_arctic")
+        os.makedirs(os.path.join(d, "wav"), exist_ok=True)
+        os.makedirs(os.path.join(d, "etc"), exist_ok=True)
+        lines = []
+        for i in range(2):
+            utt = f"arctic_a{i:04d}"
+            t = np.arange(4000) / 20000.0
+            wav = (0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t) * 32767)
+            wavfile.write(os.path.join(d, "wav", utt + ".wav"), 20000,
+                          wav.astype(np.int16))
+            lines.append(f'( {utt} "Author of the danger trail {i}." )')
+        with open(os.path.join(d, "etc", "txt.done.data"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return root
+
+
+def test_arctic_loader(tmp_path):
+    root = make_arctic_corpus(str(tmp_path))
+    items = list(load_arctic(root))
+    assert len(items) == 4
+    speakers = {i[2] for i in items}
+    assert speakers == {"bdl", "slt"}
+    assert all(i[3] == "arctic" for i in items)
+    assert all(os.path.isfile(i[0]) for i in items)
+    smap = build_speaker_map(items)
+    assert len(smap) == 2
+
+
+def test_multispeaker_tacotron_forward(rng):
+    for name, overrides in [
+        ("taco1", "encoder_cbhg_banks=2,post_cbhg_banks=2,attention_dim=16,"
+                  "decoder_dim=16,embedding_dim=16,max_iters=2"),
+        ("taco2", "max_iters=2,encoder_conv_layers=1,postnet_conv_layers=1,"
+                  "expand_conv_layers=1,encoder_conv_channels=16,"
+                  "attention_dim=16,postnet_conv_channels=16,"
+                  "expand_conv_channels=16,decoder_lstm_units=16,"
+                  "encoder_lstm_units=8,expand_lstm_units=8,embedding_dim=16"),
+    ]:
+        cfg = load_config(name)
+        cfg.parse(overrides + ",num_speakers=3")
+        if name == "taco1":
+            cfg.encoder_prenet = [16, 16]
+            cfg.encoder_cbhg_bank_sizes = [16]
+            cfg.post_cbhg_bank_sizes = [16]
+        model = create_model(name, cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        assert "speaker_embed" in params
+        text = jnp.array(rng.integers(2, 60, (2, 8)), jnp.int32)
+        lengths = jnp.array([8, 8], jnp.int32)
+        mel = jnp.array(rng.random((2, 10, 80)), jnp.float32)
+        out, _ = model.forward(params, state, text, lengths,
+                               speaker_ids=jnp.array([0, 2], jnp.int32),
+                               mel_targets=mel, is_training=True,
+                               rng=jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out["mel_outputs"])).all()
+        # different speakers produce different outputs for identical text
+        out_a, _ = model.forward(params, state, text, lengths,
+                                 speaker_ids=jnp.array([1, 1], jnp.int32),
+                                 mel_targets=mel, is_training=False)
+        out_b, _ = model.forward(params, state, text, lengths,
+                                 speaker_ids=jnp.array([2, 2], jnp.int32),
+                                 mel_targets=mel, is_training=False)
+        assert not np.allclose(np.asarray(out_a["mel_outputs"]),
+                               np.asarray(out_b["mel_outputs"]))
+
+
+CMUDICT_SAMPLE = """\
+;;; comment line
+HELLO  HH AH0 L OW1
+WORLD  W ER1 L D
+WORLD(1)  W ER1 L D Z
+BADSYM  QQ XX
+"""
+
+
+def test_cmudict_and_substitution():
+    d = CMUDict(io.StringIO(CMUDICT_SAMPLE))
+    assert len(d) == 2  # BADSYM dropped (invalid phones)
+    assert d.lookup("hello") == ["HH AH0 L OW1"]
+    assert len(d.lookup("WORLD")) == 2
+    unamb = CMUDict(io.StringIO(CMUDICT_SAMPLE), keep_ambiguous=False)
+    assert unamb.lookup("world") is None
+
+    # Feeder-style substitution: with rng always below threshold, every
+    # known word becomes ARPAbet (datafeeder.py:178-186 behavior, activated).
+    from nspeech_tpu.data.feeder import DataFeeder
+
+    feeder = DataFeeder.__new__(DataFeeder)
+    feeder._cmudict = d
+
+    class AlwaysLow:
+        def random(self):
+            return 0.0
+
+    text = " ".join(feeder._maybe_arpabet(w, AlwaysLow())
+                    for w in "hello strange world".split())
+    assert text == "{HH AH0 L OW1} strange {W ER1 L D}"

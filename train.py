@@ -37,6 +37,8 @@ def prepare_input_paths(args) -> dict:
         input_paths["ljspeech"] = args.ljspeech
     if args.librispeech:
         input_paths["librispeech"] = args.librispeech
+    if getattr(args, "arctic", ""):
+        input_paths["arctic"] = args.arctic
     return input_paths
 
 
@@ -120,6 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vctk", default="")
     parser.add_argument("--ljspeech", default="", help="LJSpeech-layout corpus dir")
     parser.add_argument("--librispeech", default="", help="corpus.csv-layout dir")
+    parser.add_argument("--arctic", default="", help="CMU Arctic corpus dir")
     parser.add_argument("--model", default="taco1")
     parser.add_argument("--name", help="Run name (defaults to model name)")
     parser.add_argument("--hparams", default="",

@@ -76,6 +76,7 @@ def main() -> None:
     parser.add_argument("--vctk", default="")
     parser.add_argument("--ljspeech", default="")
     parser.add_argument("--librispeech", default="")
+    parser.add_argument("--arctic", default="")
     parser.add_argument("--model", default="wavenet")
     parser.add_argument("--name")
     parser.add_argument("--hparams", default="")
