@@ -77,3 +77,22 @@ def test_pallas_rejects_lc():
     params = net.init(jax.random.PRNGKey(0))
     with pytest.raises(NotImplementedError):
         generate_pallas(net, params, 10, interpret=True)
+
+
+def test_pallas_batched_matches_scan(rng):
+    net = tiny_net("gc_channels=4,gc_category_cardinality=3")
+    params = net.init(jax.random.PRNGKey(0))
+    B = 3
+    gc = jnp.array([0, 2, 1], jnp.int32)
+    seed_codes = jnp.array(rng.integers(0, 128, (B, net.receptive_field + 3)),
+                           jnp.int32)
+    scan_out = np.asarray(net.generate(
+        params, 20, jax.random.PRNGKey(1), batch=B, gc_ids=gc,
+        seed_codes=seed_codes, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(
+        net, params, 20, batch=B, gc_ids=gc, seed_codes=seed_codes,
+        deterministic=True, interpret=True))
+    assert pallas_out.shape == (B, 20)
+    np.testing.assert_array_equal(scan_out, pallas_out)
+    # streams with different speakers diverge
+    assert not np.array_equal(pallas_out[0], pallas_out[1])
