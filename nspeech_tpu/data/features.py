@@ -54,7 +54,9 @@ def process_utterance(
                 return Utterance(utt_id, z["wav"], z["linear"], z["mel"],
                                  int(z["linear"].shape[0]))
 
-    wav = dsp.trim_wav(dsp.load_wav(wav_path, cfg.sample_rate))
+    from nspeech_tpu import native
+
+    wav = dsp.trim_wav(native.load_wav(wav_path, cfg.sample_rate))
     linear, mel = dsp.spectrograms(wav, cfg)
     linear = np.asarray(linear)
     mel = np.asarray(mel)

@@ -75,9 +75,11 @@ class WaveNetFeeder:
 
     def _utterance_windows(self, item: Item):
         """Yield (audio_window, speaker_id, mel_window) for one utterance."""
+        from nspeech_tpu import native
+
         wav_path, _text, local_speaker, dataset_id = item
         speaker_id = self.speaker2id[(dataset_id, str(local_speaker))]
-        wav = dsp.load_wav(wav_path, self._cfg.sample_rate)
+        wav = native.load_wav(wav_path, self._cfg.sample_rate)
         if self.silence_threshold is not None:
             wav = dsp.trim_silence(wav, self.silence_threshold)
             if wav.size == 0:
