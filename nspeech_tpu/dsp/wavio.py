@@ -42,6 +42,16 @@ def save_wav(wav: np.ndarray, path: str, sample_rate: int) -> None:
     wavfile.write(path, sample_rate, wav.astype(np.int16))
 
 
+def load_spectrogram(path: str):
+    """(spectrogram, n_frames) from .npy (reference: audio.py:22-24)."""
+    spec = np.load(path)
+    return spec, spec.shape[0]
+
+
+def save_spectrogram(spec: np.ndarray, path: str) -> None:
+    np.save(path, np.asarray(spec), allow_pickle=False)
+
+
 def encode_wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     """Encode a waveform as in-memory RIFF/WAV bytes (for HTTP serving)."""
     import io

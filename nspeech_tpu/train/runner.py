@@ -65,7 +65,8 @@ def run_training(
         for batch in batches:
             start = time.time()
             data = shard_batch(batch, mesh) if mesh is not None else batch
-            step_rng = jax.random.fold_in(rng, int(state.step))
+            step_rng = (jax.random.fold_in(rng, int(state.step))
+                        if rng is not None else None)
             state, metrics = step_fn(state, data, step_rng)
             loss = float(metrics["loss"])  # device sync point
             step = int(state.step)

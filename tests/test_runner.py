@@ -1,0 +1,74 @@
+"""Training-runner control logic with a stub step function: max-steps stop,
+checkpoint cadence + auto-resume, loss-explosion abort (SURVEY.md §5
+failure-detection contract)."""
+
+import itertools
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nspeech_tpu.train.loop import TrainState
+from nspeech_tpu.train.runner import run_training
+
+
+def make_state(step=0):
+    return TrainState(jnp.asarray(step, jnp.int32),
+                      {"w": jnp.ones((2, 2))}, {}, {"m": jnp.zeros((2, 2))})
+
+
+def stub_step(losses):
+    it = iter(losses)
+
+    def step_fn(state, batch, rng):
+        loss = next(it)
+        return TrainState(state.step + 1, state.params, state.bn_state,
+                          state.opt_state), {"loss": jnp.asarray(loss)}
+
+    return step_fn
+
+
+def batches():
+    while True:
+        yield {"x": np.zeros(2)}
+
+
+def test_max_steps_and_checkpoints(tmp_path):
+    log_dir = str(tmp_path / "run")
+    state = run_training(
+        log_dir, make_state(), stub_step([1.0, 0.9, 0.8, 0.7, 0.6]),
+        batches(), mesh=None, rng=None,
+        checkpoint_interval=2, summary_interval=1, max_steps=4)
+    assert int(state.step) == 4
+    from nspeech_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(log_dir, "ckpt"))
+    assert mgr.latest_step() == 4
+    mgr.close()
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+
+
+def test_auto_resume(tmp_path):
+    log_dir = str(tmp_path / "run")
+    run_training(log_dir, make_state(), stub_step([1.0, 0.9]), batches(),
+                 mesh=None, rng=None, checkpoint_interval=10, max_steps=2)
+    # Second invocation must resume from step 2, not restart.
+    state = run_training(log_dir, make_state(), stub_step([0.8, 0.7]),
+                         batches(), mesh=None, rng=None,
+                         checkpoint_interval=10, max_steps=4)
+    assert int(state.step) == 4
+
+
+def test_loss_explosion_aborts(tmp_path):
+    log_dir = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="exploded"):
+        run_training(log_dir, make_state(), stub_step([1.0, 500.0]),
+                     batches(), mesh=None, rng=None, max_steps=10)
+
+
+def test_nan_loss_aborts(tmp_path):
+    log_dir = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="exploded"):
+        run_training(log_dir, make_state(), stub_step([float("nan")]),
+                     batches(), mesh=None, rng=None, max_steps=10)
