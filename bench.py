@@ -54,19 +54,24 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
         batch = shard_batch(batch, mesh)
 
     key = jax.random.PRNGKey(1)
-    # Warmup / compile.
-    state, metrics = step_fn(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    # Warmup: compile + pipeline spin-up. NOTE: the scalar readback
+    # (float()) is the sync point — block_until_ready is not reliable on
+    # relayed backends; and the first post-compile step is ~10x slower, so
+    # take the median of per-step readback times after two warmup steps.
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
+        float(metrics["loss"])
 
-    start = time.perf_counter()
+    times = []
     for i in range(steps):
+        start = time.perf_counter()
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - start
+        float(metrics["loss"])
+        times.append(time.perf_counter() - start)
+    sec_per_step = sorted(times)[len(times) // 2]
 
     n_chips = len(jax.devices())
-    frames = batch_size * t_out * steps
-    return frames / elapsed / n_chips, elapsed / steps
+    return batch_size * t_out / sec_per_step / n_chips, sec_per_step
 
 
 def bench_wavenet_generate(n_samples: int = 4000, batch: int = 1):
