@@ -22,12 +22,18 @@ from nspeech_tpu.serving.synthesizer import Synthesizer
 
 
 class WaveNetVocoder:
-    """Mel spectrogram [T, M] -> waveform via mel-conditioned WaveNet."""
+    """Mel spectrogram [T, M] -> waveform via mel-conditioned WaveNet.
 
-    def __init__(self, cfg: Config):
+    Uses the VMEM-resident Pallas kernel (faster than real time on a v5e
+    chip) when the model shape supports it; falls back to the lax.scan
+    generator otherwise."""
+
+    def __init__(self, cfg: Config, use_pallas: bool = True):
         self.cfg = cfg
         self.net = None
         self._params = None
+        self._use_pallas = use_pallas
+        self._pallas_gen = None
         _, self._hop, _ = stft_params(cfg)
 
     def load(self, checkpoint_dir: str, model_name: str = "wavenet",
@@ -63,9 +69,24 @@ class WaveNetVocoder:
         gc_ids = None
         if speaker_id is not None and self.net.gc_channels:
             gc_ids = np.asarray([speaker_id], np.int32)
-        codes = self.net.generate(
-            self._params, n_samples, jax.random.PRNGKey(seed), batch=1,
-            gc_ids=gc_ids, lc=lc, temperature=temperature)
+
+        codes = None
+        if self._use_pallas:
+            try:
+                if self._pallas_gen is None:
+                    from nspeech_tpu.ops.pallas.wavenet_gen import (
+                        PallasWaveNetGenerator)
+
+                    self._pallas_gen = PallasWaveNetGenerator(
+                        self.net, self._params, gc_ids=gc_ids)
+                codes = self._pallas_gen(n_samples, seed=seed, lc=lc,
+                                         temperature=temperature)
+            except NotImplementedError:
+                self._use_pallas = False
+        if codes is None:
+            codes = self.net.generate(
+                self._params, n_samples, jax.random.PRNGKey(seed), batch=1,
+                gc_ids=gc_ids, lc=lc, temperature=temperature)
         return np.asarray(dsp.mu_law_decode(codes[0],
                                             self.net.quantization_channels))
 

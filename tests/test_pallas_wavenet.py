@@ -72,10 +72,28 @@ def test_pack_params_shapes():
     assert packed["post2"].shape == (S, Q)
 
 
-def test_pallas_rejects_lc():
+def test_pallas_local_conditioning_matches_scan(rng):
     net = tiny_net("lc_channels=5")
     params = net.init(jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError):
+    n = 20
+    lc = jnp.array(rng.random((1, n, 5)), jnp.float32)
+    scan_out = np.asarray(net.generate(params, n, jax.random.PRNGKey(1),
+                                       batch=1, lc=lc, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(net, params, n, lc=lc,
+                                            deterministic=True,
+                                            interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)
+    # different conditioning -> different stream
+    lc2 = jnp.array(rng.random((1, n, 5)), jnp.float32)
+    other = np.asarray(generate_pallas(net, params, n, lc=lc2,
+                                       deterministic=True, interpret=True))
+    assert not np.array_equal(pallas_out, other)
+
+
+def test_pallas_lc_required_when_model_conditioned():
+    net = tiny_net("lc_channels=5")
+    params = net.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
         generate_pallas(net, params, 10, interpret=True)
 
 
