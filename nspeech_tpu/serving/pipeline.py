@@ -71,7 +71,7 @@ class WaveNetVocoder:
             gc_ids = np.asarray([speaker_id], np.int32)
 
         codes = None
-        if self._use_pallas:
+        if self._use_pallas and jax.default_backend() not in ("cpu",):
             try:
                 if self._pallas_gen is None:
                     from nspeech_tpu.ops.pallas.wavenet_gen import (
@@ -81,8 +81,10 @@ class WaveNetVocoder:
                         self.net, self._params, gc_ids=gc_ids)
                 codes = self._pallas_gen(n_samples, seed=seed, lc=lc,
                                          temperature=temperature)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # unsupported model shape or backend: use the scan path
                 self._use_pallas = False
+                codes = None
         if codes is None:
             codes = self.net.generate(
                 self._params, n_samples, jax.random.PRNGKey(seed), batch=1,
