@@ -219,4 +219,14 @@ class Tacotron1:
         n_priority = int(3000 / (cfg.sample_rate * 0.5) * cfg.num_freq)
         linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
         loss = mel_loss + linear_loss
-        return loss, {"loss": loss, "loss_mel": mel_loss, "loss_linear": linear_loss}
+        return loss, {"loss": loss, "loss_mel": mel_loss,
+                      "loss_linear": linear_loss,
+                      "attention_sharpness": _attention_sharpness(outputs)}
+
+
+def _attention_sharpness(outputs) -> jnp.ndarray:
+    """Mean peak alignment weight per decoder step. Collapsed attention —
+    the failure mode the reference documents with a restart-from-checkpoint
+    procedure (reference README.md:75-80) — shows up as this dropping
+    toward 1/T_in, so it is surfaced as a training metric."""
+    return jnp.mean(jnp.max(outputs["alignments"], axis=1))

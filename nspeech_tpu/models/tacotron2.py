@@ -206,4 +206,8 @@ class Tacotron2:
         n_priority = int(2000 / (cfg.sample_rate * 0.5) * cfg.num_freq)
         linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
         loss = mel_loss + linear_loss
-        return loss, {"loss": loss, "loss_mel": mel_loss, "loss_linear": linear_loss}
+        from nspeech_tpu.models.tacotron import _attention_sharpness
+
+        return loss, {"loss": loss, "loss_mel": mel_loss,
+                      "loss_linear": linear_loss,
+                      "attention_sharpness": _attention_sharpness(outputs)}
