@@ -31,9 +31,12 @@ class Utterance(NamedTuple):
 
 
 def _cache_path(cache_dir: str, wav_path: str, cfg: Config) -> str:
-    key = "%s|%d|%d|%d|%g|%g" % (
+    # Every hparam that changes the feature values must be in the key, or a
+    # config change would silently reuse stale cached features.
+    key = "%s|%d|%d|%d|%g|%g|%g|%g|%g" % (
         os.path.abspath(wav_path), cfg.sample_rate, cfg.num_freq,
         cfg.num_mels, cfg.frame_shift_ms, cfg.frame_length_ms,
+        cfg.preemphasis, cfg.ref_level_db, cfg.min_level_db,
     )
     digest = hashlib.sha1(key.encode()).hexdigest()[:20]
     return os.path.join(cache_dir, digest + ".npz")

@@ -27,7 +27,7 @@ from typing import Dict, Iterator, List, NamedTuple, Optional
 
 import numpy as np
 
-from nspeech_tpu.config import Config
+from nspeech_tpu.config import Config, stft_params
 from nspeech_tpu.data.corpus import Item, build_speaker_map, load_items
 from nspeech_tpu.data.features import process_utterance
 from nspeech_tpu.text import text_to_sequence
@@ -110,6 +110,7 @@ class DataFeeder:
             bucket_frames = round_up(bucket_frames, r)
         self._bucket_text = bucket_text
         self._bucket_frames = bucket_frames
+        _, self._hop, _ = stft_params(cfg)
         self._cmudict = cmudict
         self._prefetch = prefetch
 
@@ -148,7 +149,12 @@ class DataFeeder:
         frame_len = round_up(max(len(e[4]) for e in examples) + 1, self._bucket_frames)
         inputs = pad_inputs([e[0] for e in examples], text_len)
         input_lengths = np.asarray([len(e[0]) for e in examples], dtype=np.int32)
-        audio = pad_inputs([e[1] for e in examples]).astype(np.float32)
+        # Audio must be shape-bucketed too: jit keys on every batch leaf's
+        # shape (even unused ones), so an unbucketed waveform axis would
+        # force a recompile per batch.
+        audio_len = round_up(max(len(e[1]) for e in examples),
+                             self._bucket_frames * self._hop)
+        audio = pad_inputs([e[1] for e in examples], audio_len).astype(np.float32)
         speaker_ids = np.asarray([e[2] for e in examples], dtype=np.int32)
         mel = pad_targets([e[3] for e in examples], r, frame_len).astype(np.float32)
         linear = pad_targets([e[4] for e in examples], r, frame_len).astype(np.float32)

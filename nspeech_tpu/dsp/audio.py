@@ -159,34 +159,49 @@ def denormalize(S: jnp.ndarray, min_level_db: float) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "win_length", "num_mels", "sample_rate",
-        "preemph", "ref_level_db", "min_level_db",
+        "ref_level_db", "min_level_db",
     ),
 )
-def _featurize(
-    y: jnp.ndarray,
+def _featurize_padded(
+    y_padded: jnp.ndarray,
     *,
     n_fft: int,
     hop_length: int,
     win_length: int,
     num_mels: int,
     sample_rate: int,
-    preemph: float,
     ref_level_db: float,
     min_level_db: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused wav -> (linear [T, F], mel [T, M]) feature extraction."""
+    """Fused features on an ALREADY center-padded signal (no further
+    padding; frames straight off the array). Input lengths are coarse
+    buckets, so the whole corpus compiles a handful of programs instead of
+    one per wav length."""
     mel_basis = jnp.asarray(mel_filterbank(sample_rate, n_fft, num_mels))
-    emph = preemphasis(y, preemph)
-    mag = jnp.abs(stft(emph, n_fft, hop_length, win_length))  # [T, F]
+    window = jnp.asarray(_padded_window(n_fft, win_length))
+    n = 1 + (y_padded.shape[0] - n_fft) // hop_length
+    idx = jnp.arange(n)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    frames = y_padded[idx] * window[None, :]
+    mag = jnp.abs(jnp.fft.rfft(frames, axis=-1))               # [T, F]
     linear = normalize(amp_to_db(mag) - ref_level_db, -abs(min_level_db))
     mel = normalize(amp_to_db(mag @ mel_basis.T), -abs(min_level_db))
     return linear.astype(jnp.float32), mel.astype(jnp.float32)
 
 
+FEATURIZE_BUCKET = 16384  # padded-signal length granularity (~0.8 s @ 20 kHz)
+
+
 def spectrograms(y, cfg: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Linear + mel spectrograms (time-major) with the reference's dB scaling
     and [0,1] normalization (reference: audio.py:39-64). One fused device
-    program replaces the host librosa path.
+    program (per coarse length bucket) replaces the host librosa path.
+
+    Exactness under bucketing: preemphasis and the librosa-style reflect
+    centering are applied on the host to the exact-length signal; only
+    trailing zeros pad it up to the bucket, and the result is sliced back to
+    the true frame count — every kept frame's window lies inside the
+    exactly-padded region, so values are bit-identical to the unbucketed
+    computation.
 
     NOTE: the reference normalizes with ``min_level_db`` read as a *positive*
     100 but used as -100 dB floor (audio.py:163 divides by the negated
@@ -194,17 +209,27 @@ def spectrograms(y, cfg: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
     arithmetic.
     """
     n_fft, hop_length, win_length = stft_params(cfg)
-    return _featurize(
-        jnp.asarray(y, dtype=jnp.float32),
+    y = np.asarray(y, dtype=np.float32)
+    emph = np.concatenate([y[:1], y[1:] - cfg.preemphasis * y[:-1]])
+    pad = n_fft // 2
+    # numpy reflect needs pad < len; degenerate tiny inputs fall back to
+    # zero padding (librosa would reject them outright).
+    mode = "reflect" if emph.shape[0] > pad else "constant"
+    exact = np.pad(emph, (pad, pad), mode=mode)
+    n_frames = 1 + (exact.shape[0] - n_fft) // hop_length
+    bucket_len = -(-exact.shape[0] // FEATURIZE_BUCKET) * FEATURIZE_BUCKET
+    padded = np.pad(exact, (0, bucket_len - exact.shape[0]))
+    linear, mel = _featurize_padded(
+        jnp.asarray(padded),
         n_fft=n_fft,
         hop_length=hop_length,
         win_length=win_length,
         num_mels=cfg.num_mels,
         sample_rate=cfg.sample_rate,
-        preemph=cfg.preemphasis,
         ref_level_db=cfg.ref_level_db,
         min_level_db=cfg.min_level_db,
     )
+    return linear[:n_frames], mel[:n_frames]
 
 
 def spectrogram(y, cfg: Config) -> jnp.ndarray:

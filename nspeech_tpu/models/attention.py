@@ -49,8 +49,9 @@ def init_attention(key, attention_type: str, num_units: int, memory_dim: int,
         p["query_layer"] = init_dense(keys[1], query_dim, num_units, use_bias=False)
         p["v"] = glorot_uniform(keys[2], (num_units,), num_units, 1)
     if attention_type == "bah_norm":
-        # weight-normalized scoring: g * v/||v|| with inner bias b
-        p["g"] = jnp.asarray((1.0 / num_units) ** 0.5 * num_units ** 0.5)  # ~1
+        # weight-normalized scoring: g * v/||v|| with inner bias b;
+        # TF initializes the gain to sqrt(1/num_units)
+        p["g"] = jnp.asarray((1.0 / num_units) ** 0.5)
         p["b"] = jnp.zeros((num_units,))
     if attention_type == "bah_mon":
         p["score_bias"] = jnp.zeros(())

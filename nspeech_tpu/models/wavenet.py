@@ -227,8 +227,11 @@ class WaveNet:
         loss = jnp.mean(ce)
         metrics = {"loss": loss}
         if l2_strength and params is not None:
-            leaves = jax.tree_util.tree_leaves(
-                {k: v for k, v in params.items() if "bias" not in k})
+            # Exclude every leaf whose key path mentions 'bias', matching the
+            # reference's name-based exclusion (wavenet.py:716-718).
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            leaves = [v for path, v in flat
+                      if "bias" not in jax.tree_util.keystr(path)]
             l2 = sum(jnp.sum(jnp.square(w)) for w in leaves) * 0.5
             metrics["l2_loss"] = l2
             loss = loss + l2_strength * l2
@@ -334,6 +337,14 @@ class WaveNet:
             raise NotImplementedError(
                 "Fast generation supports filter_width=2 one-hot models "
                 "(same restriction as the reference, wavenet.py:639-644).")
+        if self.lc_channels and lc is None:
+            raise ValueError(
+                "model has lc_channels=%d; pass lc= (per-sample local "
+                "conditioning) to generate" % self.lc_channels)
+        if lc is not None and not self.lc_channels:
+            raise ValueError(
+                "lc given but model has lc_channels=0 — it would be "
+                "silently ignored (the reference's defect, wavenet.py:398)")
         Q = self.quantization_channels
         gc = self._embed_gc(params, gc_ids)
         bufs = self._init_gen_buffers(batch)

@@ -22,6 +22,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -163,7 +165,11 @@ struct PolyphaseFilter {
 };
 
 const PolyphaseFilter& cached_filter(int up, int down) {
-  static std::vector<PolyphaseFilter> cache;
+  // GIL-released callers run concurrently: guard the cache with a mutex and
+  // use a deque so returned references stay valid across later insertions.
+  static std::mutex mu;
+  static std::deque<PolyphaseFilter> cache;
+  std::lock_guard<std::mutex> lock(mu);
   for (const auto& f : cache) {
     if (f.up == up && f.down == down) return f;
   }

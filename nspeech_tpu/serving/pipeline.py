@@ -34,6 +34,7 @@ class WaveNetVocoder:
         self._params = None
         self._use_pallas = use_pallas
         self._pallas_gen = None
+        self._pallas_gc = None  # gc_ids the cached generator was packed with
         _, self._hop, _ = stft_params(cfg)
 
     def load(self, checkpoint_dir: str, model_name: str = "wavenet",
@@ -73,12 +74,16 @@ class WaveNetVocoder:
         codes = None
         if self._use_pallas and jax.default_backend() not in ("cpu",):
             try:
-                if self._pallas_gen is None:
+                # The generator folds gc into its packed biases, so it must
+                # be rebuilt when the requested speaker changes.
+                gc_key = None if gc_ids is None else tuple(np.asarray(gc_ids))
+                if self._pallas_gen is None or self._pallas_gc != gc_key:
                     from nspeech_tpu.ops.pallas.wavenet_gen import (
                         PallasWaveNetGenerator)
 
                     self._pallas_gen = PallasWaveNetGenerator(
                         self.net, self._params, gc_ids=gc_ids)
+                    self._pallas_gc = gc_key
                 codes = self._pallas_gen(n_samples, seed=seed, lc=lc,
                                          temperature=temperature)
             except (NotImplementedError, ValueError):

@@ -81,13 +81,14 @@ def number_to_words(n: int, andword: str = "and", zero: str = "zero",
     if n == 0:
         return zero
     # Split into scale groups of three digits.
+    digits = str(n)
     groups = []
     while n > 0:
         n, rem = divmod(n, 1000)
         groups.append(rem)
     if len(groups) > len(_SCALES):
         # Beyond named scales: read digit by digit.
-        return " ".join(_ONES[int(d)] for d in str(n))
+        return " ".join(_ONES[int(d)] for d in digits)
     parts = []
     for idx in range(len(groups) - 1, -1, -1):
         g = groups[idx]
