@@ -65,7 +65,10 @@ q('#button').addEventListener('click', function(e) {
 """
 
 
-def make_app(synthesizer: Synthesizer, cfg):
+def make_app(synthesizer, cfg):
+    """``synthesizer`` is anything with .synthesize(text, speaker_id) ->
+    (wav, mel, lin) — a Synthesizer or a TextToSpeech pipeline."""
+
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
         if path == "/":
@@ -106,6 +109,10 @@ def main() -> None:
     parser.add_argument("--model", default="taco1")
     parser.add_argument("--hparams", default="")
     parser.add_argument("--num-speakers", type=int, default=None)
+    parser.add_argument("--vocoder-checkpoint", default=None,
+                        help="WaveNet vocoder checkpoint dir (else Griffin-Lim)")
+    parser.add_argument("--vocoder-model", default="wavenet")
+    parser.add_argument("--vocoder-hparams", default="")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
@@ -118,6 +125,14 @@ def main() -> None:
     print(config.debug_string(cfg))
     synthesizer = Synthesizer(cfg)
     synthesizer.load(args.checkpoint, args.model, step=args.checkpoint_step)
+    if args.vocoder_checkpoint:
+        from nspeech_tpu.serving import TextToSpeech, WaveNetVocoder
+
+        vcfg = config.load_config(args.vocoder_model)
+        vcfg.parse(args.vocoder_hparams)
+        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint,
+                                            args.vocoder_model)
+        synthesizer = TextToSpeech(synthesizer, vocoder)
     app = make_app(synthesizer, cfg)
     print("Serving on port %d" % args.port)
     simple_server.make_server("0.0.0.0", args.port, app).serve_forever()
