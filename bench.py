@@ -22,6 +22,8 @@ import numpy as np
 
 def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
                       steps: int = 10):
+    # Training default: single-pass bf16 MXU matmuls (~2x over fp32 passes).
+    jax.config.update("jax_default_matmul_precision", "bfloat16")
     import nspeech_tpu.config as config
     from nspeech_tpu.data.feeder import Batch
     from nspeech_tpu.models import create_model

@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", default=None,
                         help="Force JAX backend (e.g. cpu) for smoke runs")
+    parser.add_argument("--matmul-precision", default="bfloat16",
+                        choices=["bfloat16", "tensorfloat32", "highest"],
+                        help="MXU pass precision (bf16 single-pass is ~2x "
+                             "faster than fp32 'highest' on TPU)")
     parser.add_argument("--git", action="store_true",
                         help="Verify the working tree is clean")
     return parser
@@ -150,6 +154,9 @@ def main() -> None:
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     run_name = args.name or args.model
     log_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(log_dir, exist_ok=True)

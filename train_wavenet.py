@@ -88,10 +88,15 @@ def main() -> None:
     parser.add_argument("--cache-dir", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--matmul-precision", default="bfloat16",
+                        choices=["bfloat16", "tensorfloat32", "highest"])
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     run_name = args.name or args.model
     log_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(log_dir, exist_ok=True)
