@@ -45,11 +45,15 @@ def run_training(
     max_steps: Optional[int] = None,
     artifact_fn: Optional[Callable] = None,
     restore_step: Optional[int] = None,
+    max_recoveries: int = 3,
 ) -> TrainState:
     """Run the training loop until max_steps (or forever).
 
     artifact_fn(state, step) is called at every checkpoint interval for
-    audio/plot dumps.
+    audio/plot dumps. On a loss explosion (>100 or NaN) the run
+    auto-restores from the last good checkpoint up to ``max_recoveries``
+    times (the reference documented this as a manual restart procedure,
+    README.md:75-80; SURVEY.md §5 calls for automating it), then aborts.
     """
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
     if restore_step is not None or ckpt.latest_step() is not None:
@@ -60,6 +64,7 @@ def run_training(
 
     writer = MetricWriter(log_dir)
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    recoveries = 0
 
     try:
         for batch in batches:
@@ -80,6 +85,14 @@ def run_training(
             if loss > 100 or math.isnan(loss):
                 log("Loss exploded to %.05f at step %d!" % (loss, step),
                     slack=True)
+                if recoveries < max_recoveries and ckpt.latest_step() is not None:
+                    recoveries += 1
+                    state = ckpt.restore(state)
+                    loss_window.reset()
+                    log("Auto-restored from checkpoint step %d "
+                        "(recovery %d/%d)" % (int(state.step), recoveries,
+                                              max_recoveries), slack=True)
+                    continue
                 raise RuntimeError("Loss exploded")
 
             if step % summary_interval == 0:

@@ -67,6 +67,27 @@ def test_loss_explosion_aborts(tmp_path):
                      batches(), mesh=None, rng=None, max_steps=10)
 
 
+def test_loss_explosion_auto_recovers_from_checkpoint(tmp_path):
+    """After a checkpoint exists, an explosion restores it and continues
+    (SURVEY.md §5: automated version of the reference's manual restart)."""
+    log_dir = str(tmp_path / "run")
+    # checkpoint at step 2; explode at step 3; recover (back to step 2);
+    # then finish steps 3 and 4 cleanly.
+    state = run_training(
+        log_dir, make_state(), stub_step([1.0, 0.9, 500.0, 0.8, 0.7, 0.6]),
+        batches(), mesh=None, rng=None,
+        checkpoint_interval=2, max_steps=4, max_recoveries=2)
+    assert int(state.step) == 4
+
+
+def test_explosion_before_any_checkpoint_aborts(tmp_path):
+    log_dir = str(tmp_path / "run")
+    with pytest.raises(RuntimeError, match="exploded"):
+        run_training(log_dir, make_state(), stub_step([500.0]),
+                     batches(), mesh=None, rng=None,
+                     checkpoint_interval=10, max_steps=5, max_recoveries=3)
+
+
 def test_nan_loss_aborts(tmp_path):
     log_dir = str(tmp_path / "run")
     with pytest.raises(RuntimeError, match="exploded"):
