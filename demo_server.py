@@ -92,6 +92,39 @@ def make_app(synthesizer, cfg):
             start_response("200 OK", [("Content-Type", "audio/wav"),
                                       ("Content-Length", str(len(body)))])
             return [body]
+        if path == "/synthesize_batch":
+            # POST JSON {"texts": [...], "speaker_ids": [...]} -> zip of wavs.
+            # One padded forward serves the whole batch when the synthesizer
+            # exposes synthesize_batch.
+            import io
+            import json
+            import zipfile
+
+            try:
+                size = int(environ.get("CONTENT_LENGTH") or 0)
+                payload = json.loads(
+                    environ["wsgi.input"].read(size).decode("utf-8"))
+                texts = payload["texts"]
+                speaker_ids = payload.get("speaker_ids")
+            except Exception:
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [b'POST JSON {"texts": [...]} required']
+            if hasattr(synthesizer, "synthesize_batch"):
+                wavs, _, _ = synthesizer.synthesize_batch(texts, speaker_ids)
+            else:
+                wavs = [synthesizer.synthesize(
+                    t, (speaker_ids or [-1] * len(texts))[i])[0]
+                    for i, t in enumerate(texts)]
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                for i, wav in enumerate(wavs):
+                    z.writestr("utt_%03d.wav" % i,
+                               encode_wav_bytes(wav, cfg.sample_rate))
+            body = buf.getvalue()
+            start_response("200 OK", [("Content-Type", "application/zip"),
+                                      ("Content-Length", str(len(body)))])
+            return [body]
         start_response("404 Not Found", [("Content-Type", "text/plain")])
         return [b"not found"]
 

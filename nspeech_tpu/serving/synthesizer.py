@@ -61,13 +61,16 @@ class Synthesizer:
         self._bn_state = bn_state
 
         def forward(text, lengths, speaker_ids, key):
+            """Batched decode + per-item Griffin-Lim (vmapped), one program."""
             outputs, _ = self.model.forward(
                 self._params, self._bn_state, text, lengths,
                 speaker_ids=speaker_ids, is_training=False)
-            wav = dsp.inv_spectrogram(outputs["linear_outputs"][0], self.cfg,
-                                      key=key)
-            return (wav, outputs["mel_outputs"][0],
-                    outputs["linear_outputs"][0], outputs["alignments"][0])
+            keys = jax.random.split(key, text.shape[0])
+            wavs = jax.vmap(
+                lambda lin, k: dsp.inv_spectrogram(lin, self.cfg, key=k)
+            )(outputs["linear_outputs"], keys)
+            return (wavs, outputs["mel_outputs"],
+                    outputs["linear_outputs"], outputs["alignments"])
 
         self._forward = jax.jit(forward)
         return self
@@ -75,18 +78,34 @@ class Synthesizer:
     def synthesize(self, text: str, speaker_id: int = -1
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (waveform float32, mel [T,M], linear [T,F])."""
+        wavs, mels, lins = self.synthesize_batch([text], [speaker_id])
+        return wavs[0], mels[0], lins[0]
+
+    def synthesize_batch(self, texts, speaker_ids=None):
+        """Batch synthesis: one padded forward + vmapped Griffin-Lim for N
+        texts. Returns (list of waveforms, mels [N,T,M], linears [N,T,F])."""
         if self._forward is None:
             raise RuntimeError("Synthesizer.load() or set_variables() first")
-        seq = text_to_sequence(text, self._cleaners)
-        padded_len = round_up(len(seq), self._text_bucket)
-        ids = np.full((1, padded_len), PAD_ID, np.int32)
-        ids[0, : len(seq)] = seq
-        lengths = np.asarray([len(seq)], np.int32)
-        spk = np.asarray([max(speaker_id, 0)], np.int32)
-        wav, mel, lin, align = self._forward(
+        if speaker_ids is None:
+            speaker_ids = [-1] * len(texts)
+        seqs = [text_to_sequence(t, self._cleaners) for t in texts]
+        padded_len = round_up(max(len(s) for s in seqs), self._text_bucket)
+        # Pad the batch axis to a power of two so serving compiles a small
+        # bounded set of programs across request sizes.
+        n = max(1, 1 << (len(seqs) - 1).bit_length())
+        ids = np.full((n, padded_len), PAD_ID, np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+        lengths = np.ones((n,), np.int32)
+        lengths[: len(seqs)] = [len(s) for s in seqs]
+        spk = np.zeros((n,), np.int32)
+        spk[: len(seqs)] = [max(s, 0) for s in speaker_ids]
+        wavs, mels, lins, aligns = self._forward(
             jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(spk),
             jax.random.PRNGKey(0))
-        wav = np.asarray(dsp.inv_preemphasis(wav, self.cfg.preemphasis))
-        wav = wav[: dsp.find_endpoint(wav, self.cfg)]
-        self.last_alignment = np.asarray(align)
-        return wav, np.asarray(mel), np.asarray(lin)
+        self.last_alignment = np.asarray(aligns[0])
+        out_wavs = []
+        for i in range(len(texts)):  # drop batch-padding rows
+            wav = np.asarray(dsp.inv_preemphasis(wavs[i], self.cfg.preemphasis))
+            out_wavs.append(wav[: dsp.find_endpoint(wav, self.cfg)])
+        return out_wavs, np.asarray(mels[: len(texts)]), np.asarray(lins[: len(texts)])

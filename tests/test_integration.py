@@ -95,3 +95,50 @@ def test_train_checkpoint_restore_synthesize(corpus, tmp_path):
     assert captured["status"] == "200 OK" and b"<html" in body.lower()
     body = b"".join(app({"PATH_INFO": "/zzz", "QUERY_STRING": ""}, start_response))
     assert captured["status"].startswith("404")
+
+
+def test_batch_synthesis_and_batch_route(corpus, tmp_path):
+    """synthesize_batch: one padded forward for N texts; /synthesize_batch
+    returns a zip of wavs (BASELINE config #5 batch serving)."""
+    import io
+    import json
+    import zipfile
+
+    cfg = micro_cfg()
+    model = create_model("taco1", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, bn_state, model=model)
+
+    wavs, mels, lins = synth.synthesize_batch(["hello there", "bye"])
+    assert len(wavs) == 2
+    assert mels.shape[0] == 2 and lins.shape[0] == 2
+    assert all(np.isfinite(w).all() for w in wavs)
+    # batch result matches single-call result for the same text
+    w1, m1, _ = synth.synthesize("hello there")
+    np.testing.assert_allclose(m1, mels[0], atol=1e-5)
+
+    from demo_server import make_app
+
+    app = make_app(synth, cfg)
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    payload = json.dumps({"texts": ["hi", "yo"]}).encode()
+    env = {"PATH_INFO": "/synthesize_batch", "QUERY_STRING": "",
+           "CONTENT_LENGTH": str(len(payload)),
+           "wsgi.input": io.BytesIO(payload)}
+    body = b"".join(app(env, start_response))
+    assert captured["status"] == "200 OK"
+    assert captured["headers"]["Content-Type"] == "application/zip"
+    z = zipfile.ZipFile(io.BytesIO(body))
+    assert len(z.namelist()) == 2
+    assert z.read("utt_000.wav")[:4] == b"RIFF"
+
+    env = {"PATH_INFO": "/synthesize_batch", "QUERY_STRING": "",
+           "CONTENT_LENGTH": "0", "wsgi.input": io.BytesIO(b"")}
+    b"".join(app(env, start_response))
+    assert captured["status"].startswith("400")
