@@ -16,52 +16,93 @@ import nspeech_tpu.config as config
 from nspeech_tpu.dsp import encode_wav_bytes
 from nspeech_tpu.serving import Synthesizer
 
-HTML_BODY = b"""<html><title>nspeech-tpu demo</title>
+HTML_BODY = b"""<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>nspeech-tpu</title>
 <style>
-body {padding: 16px; font-family: sans-serif; font-size: 14px; color: #444}
-input {font-size: 14px; padding: 8px 12px; outline: none; border: 1px solid #ddd}
-input:focus {box-shadow: 0 1px 2px rgba(0,0,0,.15)}
-p {padding: 12px}
-button {background: #28d; padding: 9px 14px; margin-left: 8px; border: none;
-        outline: none; color: #fff; font-size: 14px; border-radius: 4px;
-        cursor: pointer;}
-button:hover {box-shadow: 0 1px 2px rgba(0,0,0,.15); opacity: 0.9;}
-button[disabled] {opacity: 0.4; cursor: default}
+  :root { --bg: #12151a; --card: #1c2128; --ink: #d6dde6; --dim: #78828e;
+          --accent: #4fb07a; --err: #d97066; }
+  * { box-sizing: border-box; margin: 0; }
+  body { background: var(--bg); color: var(--ink); min-height: 100vh;
+         display: grid; place-items: center;
+         font: 15px/1.5 ui-monospace, "SF Mono", Menlo, monospace; }
+  main { background: var(--card); border-radius: 10px; padding: 2rem;
+         width: min(34rem, 92vw); }
+  h1 { font-size: 1.05rem; font-weight: 600; letter-spacing: .06em;
+       text-transform: uppercase; color: var(--accent); }
+  h1 small { color: var(--dim); font-weight: 400; text-transform: none;
+             letter-spacing: 0; margin-left: .5rem; }
+  textarea { width: 100%; margin-top: 1.2rem; resize: vertical;
+             background: var(--bg); color: var(--ink); border: 1px solid #2c333c;
+             border-radius: 6px; padding: .7rem; font: inherit; min-height: 4.5rem; }
+  textarea:focus { border-color: var(--accent); outline: none; }
+  .row { display: flex; gap: .8rem; align-items: center; margin-top: .9rem; }
+  label { color: var(--dim); font-size: .85rem; }
+  #spk { width: 4.5rem; background: var(--bg); color: var(--ink);
+         border: 1px solid #2c333c; border-radius: 6px; padding: .35rem .5rem;
+         font: inherit; }
+  #go { margin-left: auto; background: var(--accent); color: #0b0e11;
+        border: 0; border-radius: 6px; padding: .55rem 1.4rem; font: inherit;
+        font-weight: 600; cursor: pointer; }
+  #go:disabled { filter: grayscale(1); opacity: .5; cursor: wait; }
+  #status { margin-top: 1rem; min-height: 1.4rem; color: var(--dim); }
+  #status.error { color: var(--err); }
+  audio { width: 100%; margin-top: .6rem; display: none; }
+  audio.ready { display: block; }
 </style>
+</head>
 <body>
-<form>
-  <input id="text" type="text" size="40" placeholder="Enter Text">
-  <button id="button" name="synthesize">Speak</button>
-</form>
-<p id="message"></p>
-<audio id="audio" controls autoplay hidden></audio>
+<main>
+  <h1>nspeech-tpu<small>text &rarr; speech</small></h1>
+  <textarea id="utt" placeholder="Type a sentence to synthesize&hellip;"
+            autofocus></textarea>
+  <div class="row">
+    <label for="spk">speaker</label>
+    <input id="spk" type="number" value="-1" min="-1">
+    <button id="go">Synthesize</button>
+  </div>
+  <div id="status"></div>
+  <audio id="player" controls></audio>
+</main>
 <script>
-function q(s) {return document.querySelector(s)}
-q('#text').focus()
-q('#button').addEventListener('click', function(e) {
-  var text = q('#text').value.trim()
-  if (text) {
-    q('#message').textContent = 'Synthesizing...'
-    q('#button').disabled = true
-    q('#audio').hidden = true
-    fetch('/synthesize?text=' + encodeURIComponent(text), {cache: 'no-cache'})
-      .then(function(res) {
-        if (!res.ok) throw Error(res.statusText)
-        return res.blob()
-      }).then(function(blob) {
-        q('#message').textContent = ''
-        q('#button').disabled = false
-        q('#audio').src = URL.createObjectURL(blob)
-        q('#audio').hidden = false
-      }).catch(function(err) {
-        q('#message').textContent = 'Error: ' + err.message
-        q('#button').disabled = false
-      })
+  const el = id => document.getElementById(id);
+
+  async function speak() {
+    const text = el('utt').value.trim();
+    if (!text) { return; }
+    const url = '/synthesize?text=' + encodeURIComponent(text) +
+                '&speaker_id=' + encodeURIComponent(el('spk').value || '-1');
+    el('go').disabled = true;
+    el('status').className = '';
+    el('status').textContent = 'synthesizing\\u2026';
+    el('player').className = '';
+    const t0 = performance.now();
+    try {
+      const res = await fetch(url);
+      if (!res.ok) { throw new Error(await res.text() || res.statusText); }
+      el('player').src = URL.createObjectURL(await res.blob());
+      el('player').className = 'ready';
+      el('player').play();
+      const dt = ((performance.now() - t0) / 1000).toFixed(2);
+      el('status').textContent = 'done in ' + dt + ' s';
+    } catch (err) {
+      el('status').className = 'error';
+      el('status').textContent = String(err.message || err);
+    } finally {
+      el('go').disabled = false;
+    }
   }
-  e.preventDefault()
-  return false
-})
-</script></body></html>
+
+  el('go').addEventListener('click', speak);
+  el('utt').addEventListener('keydown', ev => {
+    if (ev.key === 'Enter' && !ev.shiftKey) { ev.preventDefault(); speak(); }
+  });
+</script>
+</body>
+</html>
 """
 
 
@@ -110,6 +151,17 @@ def make_app(synthesizer, cfg):
                 start_response("400 Bad Request",
                                [("Content-Type", "text/plain")])
                 return [b'POST JSON {"texts": [...]} required']
+            if (not isinstance(texts, list) or not texts
+                    or not all(isinstance(t, str) and t for t in texts)):
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [b"texts must be a non-empty list of non-empty strings"]
+            if speaker_ids is not None and (
+                    not isinstance(speaker_ids, list)
+                    or len(speaker_ids) != len(texts)):
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [b"speaker_ids must match texts in length"]
             if hasattr(synthesizer, "synthesize_batch"):
                 wavs, _, _ = synthesizer.synthesize_batch(texts, speaker_ids)
             else:

@@ -1,62 +1,71 @@
-"""Misc utilities (reference: neural_speech/utils/__init__.py)."""
+"""Small host-side run utilities.
+
+Behavioral parity targets (reference: neural_speech/utils/__init__.py):
+a sliding-window average for step-time/loss smoothing, a clean-tree git
+stamp logged at training start, and a human-readable timestamp. Implemented
+here in this codebase's own idiom — ring-buffer deque, subprocess.run, ISO
+timestamps — and without the reference's unused ``timeit`` decorator.
+"""
 
 from __future__ import annotations
 
 import subprocess
-import time
+from collections import deque
 from datetime import datetime
 
 from nspeech_tpu.utils.infolog import log  # noqa: F401
 
 
 class ValueWindow:
-    """Sliding window average (sec/step, loss smoothing)."""
+    """Running mean over the most recent ``size`` appended values.
 
-    def __init__(self, window_size: int = 100):
-        self._window_size = window_size
-        self._values: list = []
+    Used to smooth per-step wall-clock and loss in the training log.
+    """
 
-    def append(self, x) -> None:
-        self._values = self._values[-(self._window_size - 1):] + [x]
+    def __init__(self, size: int = 100):
+        self._buf: deque = deque(maxlen=size)
 
-    @property
-    def sum(self):
-        return sum(self._values)
+    def append(self, value) -> None:
+        self._buf.append(value)
+
+    def reset(self) -> None:
+        self._buf.clear()
 
     @property
     def count(self) -> int:
-        return len(self._values)
+        return len(self._buf)
 
     @property
-    def average(self):
-        return self.sum / max(1, self.count)
+    def sum(self):
+        return sum(self._buf)
 
-    def reset(self) -> None:
-        self._values = []
+    @property
+    def average(self) -> float:
+        return sum(self._buf) / len(self._buf) if self._buf else 0.0
 
 
-def get_git_commit() -> str:
-    subprocess.check_output(["git", "diff-index", "--quiet", "HEAD"])
-    commit = subprocess.check_output(
-        ["git", "rev-parse", "HEAD"]).decode().strip()[:10]
-    log("Git commit: %s" % commit)
-    return commit
+def get_git_commit(require_clean: bool = True) -> str:
+    """Short hash of HEAD for stamping runs; refuses a dirty tree by default.
+
+    A run stamped with a commit that doesn't match the code that actually
+    ran is worse than no stamp, hence the clean-tree requirement.
+    """
+    dirty = subprocess.run(
+        ["git", "diff-index", "--quiet", "HEAD"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    ).returncode != 0
+    if dirty and require_clean:
+        raise RuntimeError(
+            "working tree has uncommitted changes; commit (or pass "
+            "--git=False) before stamping a training run")
+    head = subprocess.run(
+        ["git", "rev-parse", "--short=10", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    log(f"git commit: {head}" + (" (dirty tree)" if dirty else ""))
+    return head
 
 
 def time_string() -> str:
-    return datetime.now().strftime("%Y-%m-%d %H:%M")
-
-
-def timeit(method):
-    def timed(*args, **kw):
-        ts = time.time()
-        result = method(*args, **kw)
-        te = time.time()
-        if "log_time" in kw:
-            name = kw.get("log_name", method.__name__.upper())
-            kw["log_time"][name] = int((te - ts) * 1000)
-        else:
-            print("%r  %2.2f ms" % (method.__name__, (te - ts) * 1000))
-        return result
-
-    return timed
+    """Local wall-clock timestamp for artifact annotations."""
+    return datetime.now().isoformat(sep=" ", timespec="seconds")

@@ -142,3 +142,14 @@ def test_batch_synthesis_and_batch_route(corpus, tmp_path):
            "CONTENT_LENGTH": "0", "wsgi.input": io.BytesIO(b"")}
     b"".join(app(env, start_response))
     assert captured["status"].startswith("400")
+
+    # malformed payloads are rejected with 400, not a 500 from deep inside
+    for bad in ({"texts": ["hi", "yo"], "speaker_ids": [0]},
+                {"texts": []},
+                {"texts": ["ok", 7]}):
+        payload = json.dumps(bad).encode()
+        env = {"PATH_INFO": "/synthesize_batch", "QUERY_STRING": "",
+               "CONTENT_LENGTH": str(len(payload)),
+               "wsgi.input": io.BytesIO(payload)}
+        b"".join(app(env, start_response))
+        assert captured["status"].startswith("400"), bad

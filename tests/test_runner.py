@@ -93,3 +93,17 @@ def test_nan_loss_aborts(tmp_path):
     with pytest.raises(RuntimeError, match="exploded"):
         run_training(log_dir, make_state(), stub_step([float("nan")]),
                      batches(), mesh=None, rng=None, max_steps=10)
+
+
+def test_value_window():
+    from nspeech_tpu.utils import ValueWindow
+
+    w = ValueWindow(size=3)
+    assert w.average == 0.0 and w.count == 0
+    for v in (1.0, 2.0, 3.0):
+        w.append(v)
+    assert w.average == 2.0 and w.sum == 6.0
+    w.append(10.0)  # evicts 1.0 -> window is [2, 3, 10]
+    assert w.count == 3 and w.average == 5.0
+    w.reset()
+    assert w.count == 0 and w.average == 0.0
