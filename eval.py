@@ -50,6 +50,9 @@ def harvard_eval(args, synth, cfg, base_path: str) -> None:
         if i % 11 == 0:
             continue  # list headers
         if i / 11 > 3:
+            # [quirk] float division, kept deliberately: matches the
+            # reference's selection (eval.py:16) — exactly Harvard groups
+            # 1-3 (30 sentences), since line 33 is group 4's header.
             break
         text = " ".join(text.split()[1:])
         out = "%s-h%d-%d" % (base_path, int(i / 11), i % 11)

@@ -32,6 +32,8 @@ class Config:
 
     # -- attribute protocol -------------------------------------------------
     def __getattr__(self, name: str) -> Any:
+        if name == "_values":  # not set yet (e.g. during unpickling)
+            raise AttributeError(name)
         try:
             return self._values[name]
         except KeyError:
@@ -39,6 +41,13 @@ class Config:
 
     def __setattr__(self, name: str, value: Any) -> None:
         self._values[name] = value
+
+    # -- pickling (spawned preprocessing workers receive the config) --------
+    def __getstate__(self) -> Dict[str, Any]:
+        return {"_values": self._values}
+
+    def __setstate__(self, state: Dict[str, Any]) -> None:
+        object.__setattr__(self, "_values", state["_values"])
 
     def __contains__(self, name: str) -> bool:
         return name in self._values

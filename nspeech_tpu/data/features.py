@@ -31,10 +31,13 @@ class Utterance(NamedTuple):
 
 
 def _cache_path(cache_dir: str, wav_path: str, cfg: Config) -> str:
-    # Every hparam that changes the feature values must be in the key, or a
-    # config change would silently reuse stale cached features.
-    key = "%s|%d|%d|%d|%g|%g|%g|%g|%g" % (
-        os.path.abspath(wav_path), cfg.sample_rate, cfg.num_freq,
+    # Every input that changes the feature values must be in the key — the
+    # feature hparams, and the wav file's identity (mtime+size, so a
+    # replaced or re-trimmed wav does not silently reuse stale features).
+    st = os.stat(wav_path)
+    key = "%s|%d|%d|%d|%d|%d|%g|%g|%g|%g|%g" % (
+        os.path.abspath(wav_path), st.st_mtime_ns, st.st_size,
+        cfg.sample_rate, cfg.num_freq,
         cfg.num_mels, cfg.frame_shift_ms, cfg.frame_length_ms,
         cfg.preemphasis, cfg.ref_level_db, cfg.min_level_db,
     )
@@ -79,10 +82,29 @@ def build_from_paths(
     cache_dir: Optional[str] = None,
     num_workers: int = 1,
 ):
-    """Offline parallel feature build (reference: process.py:11-18)."""
+    """Offline parallel feature build (reference: process.py:11-18).
+
+    Workers are spawned (not forked): the parent usually has a live XLA
+    client, and forking its threads can deadlock the children.
+    """
     if num_workers <= 1:
         return [process_utterance(p, cfg, cache_dir) for p in wav_paths]
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+    import multiprocessing as mp
+
+    with ProcessPoolExecutor(max_workers=num_workers,
+                             mp_context=mp.get_context("spawn"),
+                             initializer=_feature_worker_init) as ex:
         futures = [ex.submit(partial(process_utterance, p, cfg, cache_dir))
                    for p in wav_paths]
         return [f.result() for f in futures]
+
+
+def _feature_worker_init() -> None:
+    # Featurization is host-side work: keep the workers off the accelerator
+    # (they would otherwise contend for the single TPU chip).
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

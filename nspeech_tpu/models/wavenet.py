@@ -388,8 +388,12 @@ class WaveNet:
         (_, _, _), (samples, logits) = jax.lax.scan(
             body, (jnp.asarray(0, jnp.int32), x0, bufs),
             (forced, lc_steps, keys))
-        skip = 0 if include_prime else prime_len
-        samples = jnp.moveaxis(samples, 0, 1)[:, skip:]
+        # The emission at scan step t is the prediction for time t+1, so the
+        # first free-running sample (time prime_len) is emitted at step
+        # prime_len-1 — skip prime_len-1 steps, then keep n_samples.
+        skip = 0 if include_prime else max(prime_len - 1, 0)
+        end = None if include_prime else skip + n_samples
+        samples = jnp.moveaxis(samples, 0, 1)[:, skip:end]
         if return_logits:
-            return samples, jnp.moveaxis(logits, 0, 1)[:, skip:]
+            return samples, jnp.moveaxis(logits, 0, 1)[:, skip:end]
         return samples

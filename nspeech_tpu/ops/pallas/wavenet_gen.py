@@ -375,7 +375,10 @@ class PallasWaveNetGenerator:
                  p["wskip"], p["bskip"], p["post1"], p["post2"],
                  p["b1"], p["b2"])
         codes = jnp.transpose(out, (1, 0, 2)).reshape(batch, n_chunks * LANE)
-        return codes[:, prime_len: prime_len + n_samples]
+        # codes[:, t] is the prediction for time t+1 (same convention as the
+        # scan generator): the first free sample sits at prime_len-1.
+        start = max(prime_len - 1, 0)
+        return codes[:, start: start + n_samples]
 
 
 def generate_pallas(

@@ -112,7 +112,14 @@ class TextToSpeech:
         wav_gl, mel, lin = self.synthesizer.synthesize(text, speaker_id)
         if self.vocoder is None:
             return wav_gl, mel, lin
+        # The decoder always runs to max_iters, so the raw mel carries
+        # trailing post-stop frames. The Griffin-Lim waveform is already
+        # endpoint-trimmed (synthesizer.synthesize_batch), so its length
+        # tells us how many frames carry speech — vocode only those.
+        n_frames = int(np.ceil(len(wav_gl) / self.vocoder._hop))
+        mel_trimmed = mel[: max(n_frames, 1)]
         wav = self.vocoder.vocode(
-            mel, speaker_id if speaker_id >= 0 else None,
+            mel_trimmed, speaker_id if speaker_id >= 0 else None,
             temperature=temperature)
+        wav = wav[: dsp.find_endpoint(wav, self.synthesizer.cfg)]
         return wav, mel, lin

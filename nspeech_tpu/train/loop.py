@@ -45,6 +45,14 @@ def _global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
 
 
+def _leaf_norms(tree) -> jnp.ndarray:
+    """Per-leaf gradient norms (reference parity: the TB grad-norm
+    histogram, tacotron.py:171-176)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.stack(
+        [jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)))) for x in leaves])
+
+
 def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
                               multi_speaker: Optional[bool] = None):
     """Train step for taco1/taco2 on a data.feeder.Batch."""
@@ -64,6 +72,7 @@ def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = _global_norm(grads)
+        metrics["grad_norms"] = _leaf_norms(grads)  # per-weight, for TB hist
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
         new_state = TrainState(state.step + 1, new_params, new_bn, new_opt)
@@ -95,6 +104,7 @@ def build_wavenet_train_step(net, optimizer, cfg: Config, mesh=None,
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = _global_norm(grads)
+        metrics["grad_norms"] = _leaf_norms(grads)  # per-weight, for TB hist
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
         new_state = TrainState(state.step + 1, new_params, state.bn_state, new_opt)

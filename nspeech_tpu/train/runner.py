@@ -33,6 +33,21 @@ def pick_mesh(batch_size: int):
     return None
 
 
+def _call_artifact_fn(fn, state, step, writer) -> None:
+    """Pass the metric writer to artifact fns that accept it (so dumps can
+    emit TB audio/output summaries); older 2-arg fns still work."""
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params >= 3:
+        fn(state, step, writer)
+    else:
+        fn(state, step)
+
+
 def run_training(
     log_dir: str,
     state: TrainState,
@@ -96,14 +111,23 @@ def run_training(
                 raise RuntimeError("Loss exploded")
 
             if step % summary_interval == 0:
-                writer.scalars(step, {k: float(v) for k, v in metrics.items()})
+                writer.scalars(step, {
+                    k: float(v) for k, v in metrics.items()
+                    if getattr(v, "ndim", 0) == 0})
+                hists = {k: jax.device_get(v) for k, v in metrics.items()
+                         if getattr(v, "ndim", 0) > 0}
+                for name in ("mel_targets", "linear_targets"):
+                    if hasattr(batch, name):  # reference's target histograms
+                        hists[name] = jax.device_get(getattr(batch, name))
+                if hists:
+                    writer.histograms(step, hists)
 
             if step % checkpoint_interval == 0:
                 log("Saving checkpoint at step %d" % step)
                 ckpt.save(step, state)
                 if artifact_fn is not None:
                     try:
-                        artifact_fn(state, step)
+                        _call_artifact_fn(artifact_fn, state, step, writer)
                     except Exception as e:  # artifacts must not kill training
                         log("Artifact dump failed: %s" % e)
 

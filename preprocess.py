@@ -14,7 +14,7 @@ import time
 
 import nspeech_tpu.config as config
 from nspeech_tpu.data.corpus import load_items
-from nspeech_tpu.data.features import process_utterance
+from nspeech_tpu.data.features import build_from_paths
 
 
 def main() -> None:
@@ -46,15 +46,11 @@ def main() -> None:
     print("Processing %d utterances -> %s" % (len(items), args.cache_dir))
 
     start = time.time()
-    total_frames = 0
-    total_samples = 0
-    for i, (wav_path, _text, _spk, _ds) in enumerate(items):
-        utt = process_utterance(wav_path, cfg, args.cache_dir)
-        total_frames += utt.n_frames
-        total_samples += len(utt.wav)
-        if (i + 1) % 100 == 0:
-            rate = (i + 1) / (time.time() - start)
-            print("  %d/%d (%.1f utt/sec)" % (i + 1, len(items), rate))
+    wav_paths = [wav_path for wav_path, _text, _spk, _ds in items]
+    utts = build_from_paths(wav_paths, cfg, args.cache_dir,
+                            num_workers=args.num_workers)
+    total_frames = sum(u.n_frames for u in utts)
+    total_samples = sum(len(u.wav) for u in utts)
     elapsed = time.time() - start
     print("Done: %d utterances, %d frames, %.1f audio-hours in %.1fs"
           % (len(items), total_frames,

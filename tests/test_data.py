@@ -153,3 +153,41 @@ def test_wavenet_feeder_windows(corpus):
             found_overlap = True
             break
     assert found_overlap
+
+
+def test_build_from_paths_parallel_matches_serial(corpus, cfg, tmp_path):
+    """N spawned workers fill the cache with byte-identical features
+    (VERDICT r1 item 9: preprocess --num-workers)."""
+    from nspeech_tpu.data.features import build_from_paths, _cache_path
+
+    items = load_items({"ljspeech": corpus})
+    paths = [p for p, _, _, _ in items[:3]]
+    cache_s = str(tmp_path / "serial")
+    cache_p = str(tmp_path / "parallel")
+    serial = build_from_paths(paths, cfg, cache_s, num_workers=1)
+    parallel = build_from_paths(paths, cfg, cache_p, num_workers=2)
+    assert len(serial) == len(parallel) == 3
+    for p, us, up in zip(paths, serial, parallel):
+        np.testing.assert_array_equal(us.linear, up.linear)
+        np.testing.assert_array_equal(us.mel, up.mel)
+        with np.load(_cache_path(cache_s, p, cfg)) as a, \
+                np.load(_cache_path(cache_p, p, cfg)) as b:
+            np.testing.assert_array_equal(a["linear"], b["linear"])
+
+
+def test_cache_key_tracks_file_identity(corpus, cfg, tmp_path):
+    """Replacing a wav (new mtime/size) must invalidate its cache entry."""
+    import os
+    import shutil
+
+    from nspeech_tpu.data.features import _cache_path
+
+    items = load_items({"ljspeech": corpus})
+    src = items[0][0]
+    wav = str(tmp_path / "x.wav")
+    shutil.copy(src, wav)
+    k1 = _cache_path(str(tmp_path / "c"), wav, cfg)
+    st = os.stat(wav)
+    os.utime(wav, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    k2 = _cache_path(str(tmp_path / "c"), wav, cfg)
+    assert k1 != k2

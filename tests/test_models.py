@@ -260,3 +260,29 @@ def test_simple_wavenet_registry():
     net = create_model("simple_wavenet", cfg)
     assert isinstance(net, WaveNet)
     assert net.receptive_field == calculate_receptive_field(2, [1, 2], False, 32)
+
+
+def test_wavenet_priming_offset(rng):
+    """The first returned free-running sample must be the prediction
+    conditioned on the full seed (emitted at scan step prime_len-1), and
+    exactly n_samples must come back."""
+    cfg = tiny_wavenet()
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    RF = net.receptive_field
+    codes = jnp.array(rng.integers(0, 64, (1, RF + 3)), jnp.int32)
+    prime_len = codes.shape[1]
+    n = 5
+    full, full_logits = net.generate(
+        params, n_samples=n, key=jax.random.PRNGKey(7), batch=1,
+        seed_codes=codes, return_logits=True, include_prime=True)
+    out, out_logits = net.generate(
+        params, n_samples=n, key=jax.random.PRNGKey(7), batch=1,
+        seed_codes=codes, return_logits=True)
+    assert out.shape == (1, n)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(full[:, prime_len - 1: prime_len - 1 + n]))
+    # The first free logits equal the slow network's prediction after the seed.
+    slow = np.asarray(net.predict_logits(params, codes))
+    np.testing.assert_allclose(np.asarray(out_logits[:, 0]), slow[:, -1],
+                               atol=2e-4, rtol=1e-4)

@@ -36,7 +36,9 @@ def test_text_to_waveform_via_wavenet():
     wav, mel, lin = tts.synthesize("hi there")
     hop = 250  # 12.5 ms at 20 kHz
     assert mel.shape == (15, 80)
-    assert wav.shape == (15 * hop,)
+    # Only the speech-bearing frames (per the Griffin-Lim endpoint) are
+    # vocoded — no trailing post-stop garbage at full max_iters length.
+    assert 0 < wav.shape[0] <= 15 * hop
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() <= 1.0  # mu-law decoded range
 
@@ -44,3 +46,5 @@ def test_text_to_waveform_via_wavenet():
     tts_gl = TextToSpeech(synth, None)
     wav_gl, _, _ = tts_gl.synthesize("hi there")
     assert wav_gl.ndim == 1 and np.isfinite(wav_gl).all()
+    # vocoded length tracks the GL endpoint to within one frame
+    assert abs(wav.shape[0] - wav_gl.shape[0]) <= hop

@@ -86,7 +86,7 @@ def train(log_dir: str, args, cfg) -> None:
         return (outputs["linear_outputs"][0], outputs["mel_outputs"][0],
                 outputs["alignments"][0], wav)
 
-    def artifact_fn(state, step):
+    def artifact_fn(state, step, writer=None):
         b = preview[0]
         if b is None:
             return
@@ -103,6 +103,10 @@ def train(log_dir: str, args, cfg) -> None:
         plot.plot_wave(wav, cfg.sample_rate, base + "-wav.png", text)
         plot.plot_specgram(np.asarray(lin), base + "-lin.png", "linear")
         plot.plot_specgram(np.asarray(mel), base + "-mel.png", "mel")
+        if writer is not None:  # TB parity: output histograms + eval audio
+            writer.histograms(step, {"linear_outputs": np.asarray(lin),
+                                     "mel_outputs": np.asarray(mel)})
+            writer.audio(step, "eval_audio", wav, cfg.sample_rate)
         log("Dumped artifacts for step %d (input: %s)" % (step, text))
 
     run_training(
@@ -161,6 +165,10 @@ def main() -> None:
     log_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(log_dir, exist_ok=True)
     infolog.init(os.path.join(log_dir, "train.log"), run_name, args.slack_url)
+    infolog.log(
+        "matmul precision: %s (bf16 is the TPU default; pass "
+        "--matmul-precision highest for full-fp32 matmuls)"
+        % args.matmul_precision)
     if args.git:
         from nspeech_tpu.utils import get_git_commit
 

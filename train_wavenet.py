@@ -101,6 +101,10 @@ def main() -> None:
     log_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(log_dir, exist_ok=True)
     infolog.init(os.path.join(log_dir, "train.log"), run_name, args.slack_url)
+    infolog.log(
+        "matmul precision: %s (bf16 is the TPU default; pass "
+        "--matmul-precision highest for full-fp32 matmuls)"
+        % args.matmul_precision)
     cfg = config.load_config(args.model)
     cfg.parse(args.hparams)
     train_wavenet(log_dir, args, cfg)
