@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark harness: prints ONE JSON line with the headline metric.
+"""Benchmark harness: prints one JSON line per metric (headline first).
 
 Headline: Tacotron-2 training throughput in mel frames/sec/chip on the
 default backend (the real TPU when available). Baseline target: 10,000
 frames/sec/chip on v5e (BASELINE.md); ``vs_baseline`` is value/10000.
 
-Extra metrics (WaveNet sampling rate, etc.) can be printed with --all;
-the driver consumes only the first/default line.
+Also emitted by default: MFU (XLA cost-analysis FLOPs / step time / chip
+peak), sec/step, and the WaveNet Pallas sampling rates (single-stream and
+batch-8 aggregate; target 5x real time per BASELINE.md). Every record
+carries the active matmul precision so the numbers are interpretable.
 """
 
 from __future__ import annotations
@@ -19,11 +21,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Peak dense-matmul throughput per chip (FLOP/s) by device kind, bf16.
+# v5e: 197 TFLOP/s bf16 (v5p: 459, v4: 275). CPU fallback is a nominal
+# figure so MFU never divides by zero off-TPU.
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+}
+
+
+def _chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return 1e12
+
 
 def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
-                      steps: int = 10):
+                      steps: int = 10, precision: str = "bfloat16"):
+    """Returns (frames/sec/chip, sec_per_step, mfu)."""
     # Training default: single-pass bf16 MXU matmuls (~2x over fp32 passes).
-    jax.config.update("jax_default_matmul_precision", "bfloat16")
+    jax.config.update("jax_default_matmul_precision", precision)
     import nspeech_tpu.config as config
     from nspeech_tpu.data.feeder import Batch
     from nspeech_tpu.models import create_model
@@ -55,6 +77,17 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
 
         batch = shard_batch(batch, mesh)
 
+    # Whole-step FLOPs (fwd+bwd+Adam) from XLA's own cost model, for MFU.
+    step_flops = None
+    try:
+        analysis = step_fn.lower(
+            state, batch, jax.random.PRNGKey(9)).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        step_flops = float(analysis["flops"])
+    except Exception:
+        pass
+
     key = jax.random.PRNGKey(1)
     # Warmup: compile + pipeline spin-up. NOTE: the scalar readback
     # (float()) is the sync point — block_until_ready is not reliable on
@@ -73,7 +106,10 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
     sec_per_step = sorted(times)[len(times) // 2]
 
     n_chips = len(jax.devices())
-    return batch_size * t_out / sec_per_step / n_chips, sec_per_step
+    mfu = None
+    if step_flops:
+        mfu = step_flops / sec_per_step / (_chip_peak_flops() * n_chips)
+    return batch_size * t_out / sec_per_step / n_chips, sec_per_step, mfu
 
 
 def bench_wavenet_generate(n_samples: int = 4000, batch: int = 1):
@@ -96,44 +132,68 @@ def bench_wavenet_generate(n_samples: int = 4000, batch: int = 1):
     return rate, rate / cfg.sample_rate
 
 
+def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+        "precision": precision,
+    }), flush=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
-                        help="Also print secondary metrics")
+                        help="Also print secondary metrics (vocoder lc path)")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--precision", default="bfloat16",
+                        choices=["bfloat16", "tensorfloat32", "highest"])
     args = parser.parse_args()
 
-    frames_per_sec, sec_per_step = bench_taco2_train(
-        batch_size=args.batch_size, steps=args.steps)
-    print(json.dumps({
-        "metric": "taco2_train_mel_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(frames_per_sec / 10000.0, 3),
-    }))
+    frames_per_sec, sec_per_step, mfu = bench_taco2_train(
+        batch_size=args.batch_size, steps=args.steps,
+        precision=args.precision)
+    _emit("taco2_train_mel_frames_per_sec_per_chip", round(frames_per_sec, 1),
+          "frames/sec/chip", round(frames_per_sec / 10000.0, 3),
+          args.precision)
+    if mfu is not None:
+        # No baseline ratio: the reference publishes no MFU (BASELINE.md).
+        _emit("taco2_train_mfu", round(mfu, 4), "fraction_of_peak", None,
+              args.precision)
+    _emit("taco2_sec_per_step", round(sec_per_step, 4), "sec", None,
+          args.precision)
+
+    # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
+    # are MXU-latency-bound; bf16 measured no faster).
+    rate, rtf = bench_wavenet_generate(batch=1)
+    _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),
+          "samples/sec", round(rtf / 5.0, 4), "float32")
+    rate8, rtf8 = bench_wavenet_generate(batch=8)
+    _emit("wavenet_pallas_batch8_samples_per_sec_per_chip", round(rate8, 1),
+          "samples/sec/chip", round(rtf8 / 5.0, 4), "float32")
 
     if args.all:
-        rate, rtf = bench_wavenet_generate(batch=1)
-        print(json.dumps({
-            "metric": "wavenet_pallas_single_stream_samples_per_sec",
-            "value": round(rate, 1),
-            "unit": "samples/sec",
-            "vs_baseline": round(rtf / 5.0, 4),  # target: 5x real time
-        }))
-        rate8, rtf8 = bench_wavenet_generate(batch=8)
-        print(json.dumps({
-            "metric": "wavenet_pallas_batch8_samples_per_sec_per_chip",
-            "value": round(rate8, 1),
-            "unit": "samples/sec/chip",
-            "vs_baseline": round(rtf8 / 5.0, 4),
-        }))
-        print(json.dumps({
-            "metric": "taco2_sec_per_step",
-            "value": round(sec_per_step, 4),
-            "unit": "sec",
-            "vs_baseline": None,
-        }))
+        from nspeech_tpu.serving.pipeline import WaveNetVocoder
+        import nspeech_tpu.config as config
+
+        cfg = config.load_config("wavenet")
+        cfg.parse("lc_channels=80")
+        from nspeech_tpu.models.wavenet import WaveNet
+
+        net = WaveNet(cfg)
+        voc = WaveNetVocoder(cfg).set_variables(net, net.init(jax.random.PRNGKey(0)))
+        frames = 160  # 2 s at 12.5 ms hop
+        mel = np.random.default_rng(0).random((frames, cfg.num_mels)).astype(np.float32)
+        voc.vocode(mel)  # compile
+        start = time.perf_counter()
+        wav = voc.vocode(mel)
+        dt = time.perf_counter() - start
+        rate_lc = len(wav) / dt
+        _emit("wavenet_vocoder_lc_samples_per_sec", round(rate_lc, 1),
+              "samples/sec", round(rate_lc / cfg.sample_rate / 5.0, 4),
+              "float32")
 
 
 if __name__ == "__main__":
