@@ -8,30 +8,47 @@ projections, emitted codes) are double-buffered through the Pallas pipeline.
 This replaces the reference's one-session-call-per-sample queue generator
 (reference: generate_wavenet.py:109-122, wavenet.py:487-557).
 
-Kernel design rules (learned the hard way — dynamic sublane indexing and
-vector->scalar extraction lower pathologically on TPU):
-- NO dynamic indexing anywhere: weight "gathers" for the one-hot input are
-  [B, Q] x [Q, R] matmuls against one-hots kept as vectors; ring-buffer
-  reads/writes are iota-mask selects over statically-sliced segments, with
-  ring rows packing LANE//R slots per 128-lane row when batched (slot
-  extraction is a lax.switch over static lane slices);
-- sampled codes never leave vector registers: the next input one-hot and
-  the emitted integer code come from per-row max/min reductions;
-- the four gate matmuls per layer (filter/gate x current/state taps) fuse
-  into one [B, 2R] @ [2R, 2DC] matmul; the 50 skip matmuls are DEFERRED:
-  gated activations accumulate into a [B, L*DC] scratch and one
-  [B, L*DC] @ [L*DC, S] matmul at the end replaces 50 serial ones (only
-  the dense path is in the sequential dependence chain);
-- global conditioning is constant over the utterance, so gc @ W_gc folds
-  into per-layer (per-stream) biases computed outside the kernel;
-- local conditioning is precomputed OUTSIDE the kernel as per-sample
-  per-layer bias rows (lc @ W_lc for all layers at once, one XLA matmul)
-  and streamed chunk-by-chunk through the grid pipeline.
+Kernel design rules (measured on v5e — every rule below is worth 2x or
+more and was validated by microbenchmark):
+- The serial budget is DEPENDENT-OP LATENCY: a dependent small matmul
+  costs ~85ns and any VPU op between two dependent matmuls adds ~80ns of
+  handoff, while INDEPENDENT matmuls pipeline underneath for free. The
+  whole kernel is therefore reassociated so each layer puts exactly ONE
+  matmul + one tanh on the chain: fg_{i+1} = g_i @ (Wdense_i @ Wfcur_{i+1})
+  + [x_i ; s_{i+1}] @ [Wfcur; Wfstate] + bias, with the residual updates,
+  state taps, and skip contributions all off-chain. The causal layer is
+  folded into layer 0's gate (wcc), split so the past-tap half is computed
+  one step early and carried.
+- Dynamic indexing on the LEADING (untiled) dim of a VMEM ref is plain
+  address arithmetic (~10ns) — rings are read/written with pl.ds row
+  slices. Dynamic SUBLANE/LANE indexing and iota-mask selects over whole
+  segments lower pathologically (~870ns per d=512 layer — round 1's
+  hidden cost).
+- One transcendental per layer: sigmoid(b) == (1 + tanh(b/2))/2 with the
+  1/2 pre-scaled into every gate-half weight column, so the gate is a
+  single tanh over [filter|gate] plus one fma + one multiply.
+- Cross-step state (one-hots, the carried causal half, the output row)
+  rides in fori_loop carries (vector registers), stored to scratch once
+  per 128-sample chunk, not per step.
+- Gumbel noise for a whole chunk is drawn in one vectorized pass with the
+  temperature folded in (argmax(l/T + g) == argmax(l + gT)); per step the
+  sampling path is one row read + add + max/min reduction. Sampled codes
+  never leave vector registers.
+- Per-layer dense biases are NOT added in the loop: the residual is
+  tracked bias-free and the cumulative bias's gate contribution
+  (cbd_i @ (Wfcur_i + Wfstate_i)) folds into the per-layer constant.
+- Global conditioning is constant over the utterance, so gc @ W_gc folds
+  into per-layer (per-stream) biases computed outside the kernel; local
+  conditioning is precomputed OUTSIDE the kernel as per-sample per-layer
+  bias rows (one XLA matmul) and streamed chunk-by-chunk through the grid
+  pipeline.
 
 Batch lives on the sublane dimension: generating B streams costs barely
 more per step than one (the chain is latency-bound), so aggregate
-throughput scales ~linearly with batch up to the sublane tile. Local
-conditioning currently supports batch=1 (the vocoder serving path).
+throughput scales ~linearly with batch up to the sublane tile. At B=1 the
+skip contribution accumulates from the per-layer fused matmul; at B>1
+gated activations collect in scratch for one [B, L*DC] @ [L*DC, S] matmul.
+Local conditioning currently supports batch=1 (the vocoder serving path).
 """
 
 from __future__ import annotations
@@ -54,20 +71,25 @@ def _round_up(x: int, m: int) -> int:
 def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
     """Restructure WaveNet params into the kernel's fused layout. When
     ``gc_ids`` has B entries the gate biases become per-stream. Includes
-    ``wlc`` ([lc_channels, L*2DC]) when the net is locally conditioned."""
+    ``wlc`` ([lc_channels, L*2DC]) when the net is locally conditioned.
+
+    The layout implements the chain-shortening reassociation
+    ``fg_{i+1} = x_i @ Wfcur_{i+1} + g_i @ (Wdense_i @ Wfcur_{i+1}) + ...``:
+    only ``g_i @ wgb_i`` sits on the serial dependence chain; the residual
+    updates and state-tap matmuls are independent work the MXU pipelines
+    under the chain's latency.
+    """
     R, DC, S = net.residual_channels, net.dilation_channels, net.skip_channels
     gc_vecs = None
     if gc_ids is not None and net.gc_channels:
         gc_vecs = jnp.take(params["gc_embedding"], gc_ids, axis=0)  # [B, C]
 
-    wfg, bfg, wdense, bdense, wskip, bskip, wlc = [], [], [], [], [], [], []
+    wfcur, wfstate, bfg = [], [], []
+    wdense, bdense, wskip, bskip, wlc = [], [], [], [], []
     for lp in params["layers"]:
         f, g = lp["filter"], lp["gate"]  # [2, R, DC]; tap 0 = past/state
-        w = jnp.concatenate([
-            jnp.concatenate([f[1], g[1]], axis=1),   # current-tap rows
-            jnp.concatenate([f[0], g[0]], axis=1),   # state-tap rows
-        ], axis=0)                                    # [2R, 2DC]
-        wfg.append(w)
+        wfcur.append(jnp.concatenate([f[1], g[1]], axis=1))     # [R, 2DC]
+        wfstate.append(jnp.concatenate([f[0], g[0]], axis=1))   # [R, 2DC]
         if gc_vecs is not None:
             b = jnp.concatenate([
                 gc_vecs @ lp["gc_filter"][0], gc_vecs @ lp["gc_gate"][0]],
@@ -85,15 +107,54 @@ def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
             wlc.append(jnp.concatenate(
                 [lp["lc_filter"][0], lp["lc_gate"][0]], axis=1))  # [M, 2DC]
 
+    L = len(wfcur)
+    # Chain blocks: wgb[i] = Wdense_i @ Wfcur_{i+1} (the only per-layer
+    # matmul on the serial chain). The kernel tracks the residual WITHOUT
+    # its accumulated dense biases (one add per layer saved on the hot
+    # loop, and the rings store the same bias-free values); the cumulative
+    # bias cbd_i = sum_{j<i} bdense_j is constant per layer, so its
+    # current-tap and state-tap gate contributions fold into bchain.
+    wgb = [wdense[i] @ wfcur[i + 1] for i in range(L - 1)]
+    cbd = [jnp.zeros_like(bdense[0])]
+    for i in range(L - 1):
+        cbd.append(cbd[-1] + bdense[i])
+    bchain = [bfg[i] + cbd[i][None, :] @ (wfcur[i] + wfstate[i])
+              for i in range(L)]
+    wc = jnp.concatenate([params["causal"][1], params["causal"][0]],
+                         axis=0)                      # [2Q, R]: [cur; past]
+
+    # Per-layer fused output block: one matmul from the gated activation
+    # yields [next-gate chain contribution | residual delta | skip
+    # contribution]. The last layer has no chain/residual consumer.
+    zero_gb = jnp.zeros((DC, 2 * DC))
+    zero_d = jnp.zeros((DC, R))
+    wabc = jnp.stack([
+        jnp.concatenate([
+            wgb[i] if i < L - 1 else zero_gb,
+            wdense[i] if i < L - 1 else zero_d,
+            wskip[i],
+        ], axis=1)
+        for i in range(L)
+    ])                                                # [L, DC, 2DC+R+S]
+    # Per-layer fused pre-activation: [x_i ; s_{i+1}] @ [Wfcur; Wfstate].
+    wpair = jnp.stack([
+        jnp.concatenate([wfcur[i + 1], wfstate[i + 1]], axis=0)
+        for i in range(L - 1)
+    ]) if L > 1 else jnp.zeros((1, 2 * R, 2 * DC))    # [L-1, 2R, 2DC]
+
     packed = {
-        "wc": jnp.concatenate([params["causal"][1], params["causal"][0]],
-                              axis=0),               # [2Q, R]: [cur; past]
-        "wfg": jnp.stack(wfg),                       # [L, 2R, 2DC]
-        "bfg": jnp.stack(bfg),                       # [L, 1|B, 2DC]
-        "wdense": jnp.stack(wdense),                 # [L, DC, R]
-        "bdense": jnp.stack(bdense)[:, None, :],     # [L, 1, R]
-        # stacked skip: one [L*DC, S] matmul applies all layers at once
+        # causal folded straight into layer 0's gate: one dependent matmul
+        # takes the input one-hots to [fg_0 | x_0]
+        "wcc": jnp.concatenate([wc @ wfcur[0], wc], axis=1),  # [2Q, 2DC+R]
+        "wfstate0": wfstate[0],                      # [R, 2DC]
+        "wpair": wpair,                              # [L-1, 2R, 2DC]
+        "wabc": wabc,                                # [L, DC, 2DC+R+S]
+        # batched path: chain|dense only + one stacked skip matmul at the
+        # end (per-layer skip accumulation beats it at B=1, loses at B>1)
+        "wab": wabc[:, :, : 2 * DC + R],             # [L, DC, 2DC+R]
         "wskip": jnp.concatenate(wskip, axis=0),     # [L*DC, S]
+        "bchain": jnp.stack(bchain),                 # [L, 1|B, 2DC]
+        "bdense": jnp.stack(bdense)[:, None, :],     # [L, 1, R]
         "bskip": sum(bskip)[None, :],                # [1, S]
         "post1": params["post1"][0],                 # [S, S]
         "post2": params["post2"][0],                 # [S, Q]
@@ -103,6 +164,22 @@ def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
     }
     if net.lc_channels:
         packed["wlc"] = jnp.concatenate(wlc, axis=1)  # [M, L*2DC]
+
+    # Single-transcendental gate: sigmoid(b) == (1 + tanh(b/2)) / 2, so
+    # pre-halving every gate-half column lets the kernel evaluate ONE tanh
+    # over [filter|gate] instead of tanh + sigmoid on the serial chain.
+    half_gate = jnp.concatenate(
+        [jnp.ones((DC,)), jnp.full((DC,), 0.5)])      # [2DC]
+    packed["wcc"] = packed["wcc"] * jnp.concatenate([half_gate, jnp.ones((R,))])
+    packed["wfstate0"] = packed["wfstate0"] * half_gate
+    packed["wpair"] = packed["wpair"] * half_gate
+    packed["bchain"] = packed["bchain"] * half_gate
+    packed["wabc"] = packed["wabc"] * jnp.concatenate(
+        [half_gate, jnp.ones((R + S,))])
+    packed["wab"] = packed["wab"] * jnp.concatenate(
+        [half_gate, jnp.ones((R,))])
+    if net.lc_channels:
+        packed["wlc"] = packed["wlc"] * jnp.tile(half_gate, L)
     return jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), packed)
 
 
@@ -126,11 +203,25 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
     B = batch
     LCW = L * 2 * DC if use_lc else 1
 
+    # Skip path: at B=1 per-layer accumulation from the fused wabc matmul
+    # measures faster (it lives in one vreg row); at B>1 gated activations
+    # collect in scratch for ONE [B, L*DC] @ [L*DC, S] matmul at the end.
+    use_sk = B == 1
+    # B=1 latency path additionally precomputes the chunk's Gumbel noise.
+    use_noise = B == 1 and not deterministic
+
     def kernel(seed_ref, forced_ref, lc_ref,
-               wc_ref, wfg_ref, bfg_ref, wdense_ref, bdense_ref,
-               wskip_ref, bskip_ref, post1_ref, post2_ref, b1_ref, b2_ref,
-               out_ref, ring_ref, oh_cur_ref, oh_prev_ref, gated_ref):
+               wcc_ref, wfstate0_ref, wpair_ref, wabc_ref,
+               bchain_ref,
+               bskip_ref, post1_ref, post2_ref, b1_ref, b2_ref,
+               *rest):
         chunk = pl.program_id(0)
+        rest = list(rest)
+        wskip_ref = None if use_sk else rest.pop(0)        # last input
+        out_ref, ring_ref, oh_cur_ref, ccprev_ref = rest[:4]
+        rest = rest[4:]
+        noise_ref = rest.pop(0) if use_noise else None
+        gated_ref = rest.pop(0) if not use_sk else None
 
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
@@ -144,11 +235,82 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             ring_ref[:] = jnp.zeros_like(ring_ref)
             # First free-running input: mid-scale silence
             # (generate_wavenet.py:88); previous input at t=0: zeros (the
-            # reference queues start zeroed, wavenet.py:499-531).
+            # reference queues start zeroed, wavenet.py:499-531), so its
+            # causal past-tap contribution is zero too.
             oh_cur_ref[:] = (q_iota == Q // 2).astype(dtype)
-            oh_prev_ref[:] = jnp.zeros((B, Q), dtype)
+            ccprev_ref[:] = jnp.zeros_like(ccprev_ref)
+
+        if noise_ref is not None:
+            # Draw the whole chunk's Gumbel noise in one vectorized pass —
+            # per step it's then a single dynamic-slice row read instead of
+            # two transcendental ops on the sampling path. Temperature is
+            # folded into the noise: argmax(logits/T + g) = argmax(logits
+            # + g*T), saving the per-step logits multiply.
+            bits = pltpu.prng_random_bits((LANE, Q))
+            u = pltpu.bitcast(
+                pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+            ).astype(jnp.float32)
+            u = u * (1.0 / (1 << 24)) + 1e-10
+            noise_ref[:] = -jnp.log(-jnp.log(u)) * (1.0 / inv_temp)
+
+        def ring_read(li, t):
+            """State tap x_li(t - d_li); depends on t only, not the chain.
+
+            Rings are addressed with a dynamic slice on the LEADING dim —
+            leading dims are untiled, so this is plain address arithmetic
+            (~10ns), unlike sublane/lane dynamic indexing which lowers
+            pathologically. (Round 1 used iota-mask selects over the whole
+            segment: ~870ns per d=512 layer, the kernel's hidden cost.)
+            """
+            d = dilations[li]
+            nrow = rows_per_layer[li]
+            off = int(row_offsets[li])
+            slot = jax.lax.bitwise_and(t, d - 1)     # d is 2^k
+            if nrow == 1:
+                padded = ring_ref[off]               # [B, ring_lanes]
+            else:
+                padded = ring_ref[pl.ds(off + slot // pack, 1)][0]
+            if pack == 1:
+                return padded
+            if d == 1:
+                # only lane-group 0 is ever used when d == 1
+                return padded[:, :R]
+            return jax.lax.switch(
+                slot % pack,
+                [lambda p, k=k: p[:, k * R:(k + 1) * R] for k in range(pack)],
+                padded)
+
+        def ring_write(li, t, x):
+            """Store x_li(t) in layer li's ring (after its read this step)."""
+            d = dilations[li]
+            nrow = rows_per_layer[li]
+            off = int(row_offsets[li])
+            slot = jax.lax.bitwise_and(t, d - 1)
+            if pack == 1 or d == 1:
+                new_row = x if pack == 1 else jnp.pad(
+                    x, ((0, 0), (0, LANE - R)))
+            else:
+                # read-modify-write this slot's lane group within its row
+                row = ring_ref[pl.ds(off + slot // pack, 1)][0]
+                x_tiled = jnp.concatenate([x] * pack, axis=1)
+                new_row = jnp.where(lane_group_iota == slot % pack,
+                                    x_tiled, row)
+            if nrow == 1:
+                ring_ref[off] = new_row
+            else:
+                ring_ref[pl.ds(off + slot // pack, 1)] = new_row[None]
+
+        def lc_row(li, i):
+            """The local-conditioning gate bias row for layer li, sample i."""
+            lseg = lc_ref[0][:, li * 2 * DC:(li + 1) * 2 * DC]
+            return jnp.sum(jnp.where(lc_rows == i, lseg, 0.0), axis=0,
+                           keepdims=True)
 
         def step(i, carry):
+            # One-hots, the previous input's causal half, and the output
+            # row live in the loop carry (vector registers): no per-step
+            # VMEM round trips on the serial path.
+            oh_cur, cc_prev, out_vec = carry
             t = chunk * LANE + i
 
             # --- input one-hot ------------------------------------------
@@ -159,78 +321,69 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                 use_forced = (t < prime_len).astype(dtype)
                 forced_onehot = (q_iota == forced_code).astype(dtype)
                 cur_onehot = (use_forced * forced_onehot
-                              + (1.0 - use_forced) * oh_cur_ref[:])
+                              + (1.0 - use_forced) * oh_cur)
             else:
-                cur_onehot = oh_cur_ref[:]
+                cur_onehot = oh_cur
 
-            prev_onehot = oh_prev_ref[:]
-            oh_prev_ref[:] = cur_onehot
-
-            # --- causal layer: [B, 2Q] @ [2Q, R] ------------------------
-            x2 = jnp.concatenate([cur_onehot, prev_onehot], axis=1)
-            cur = jnp.dot(x2, wc_ref[:],
-                          preferred_element_type=jnp.float32).astype(dtype)
-
-            # --- dilated stack (serial chain: gates + dense only) -------
+            # --- dilated stack ------------------------------------------
+            # Serial chain: fg_0 via the causal-folded matmul, then per
+            # layer ONE dependent matmul + the gate tanh. Everything else
+            # (residual updates, state taps, ring traffic, skip
+            # accumulation, lc adds) is independent of the newest gated
+            # value, so the MXU/VPU pipeline it under the chain's latency.
+            # current-tap half on the chain; the past-tap half (cc_prev)
+            # was computed last step from what is now the previous one-hot
+            cc = cc_prev + jnp.dot(cur_onehot, wcc_ref[:Q],
+                                   preferred_element_type=jnp.float32)
+            cc_next = jnp.dot(cur_onehot, wcc_ref[Q:],
+                              preferred_element_type=jnp.float32)  # off-chain
+            x = cc[:, 2 * DC:].astype(dtype)                  # x_0
+            s0 = ring_read(0, t)   # MUST read ring 0 before writing it
+            pre = (jnp.dot(s0, wfstate0_ref[:],
+                           preferred_element_type=jnp.float32)
+                   + bchain_ref[0])
+            if use_lc:
+                pre = pre + lc_row(0, i)
+            ring_write(0, t, x)
+            fg = cc[:, :2 * DC] + pre
+            sk = jnp.zeros((B, S), jnp.float32)
             for li in range(L):
-                d = dilations[li]
-                nrow = rows_per_layer[li]
-                off = int(row_offsets[li])
-                seg = ring_ref[off: off + nrow, :, :]    # [nrow, B, ring_lanes]
-                slot = jax.lax.bitwise_and(t, d - 1)     # d is 2^k
-                row = slot // pack
-                group = slot % pack
-
-                if nrow == 1:
-                    padded = seg[0]                      # [B, ring_lanes]
+                # gate halves were pre-scaled by 1/2 in pack_params:
+                # tanh(f) * sigmoid(g) == tanh(f) * (1 + tanh(g/2))/2
+                th = jnp.tanh(fg)
+                gated = (th[:, :DC]
+                         * (th[:, DC:] * 0.5 + 0.5)).astype(dtype)
+                # one fused matmul: [chain | residual delta | skip contrib]
+                abc = jnp.dot(gated, wabc_ref[li],
+                              preferred_element_type=jnp.float32)
+                if use_sk:
+                    sk = sk + abc[:, 2 * DC + R:]
                 else:
-                    seg_rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (nrow, B, ring_lanes), 0)
-                    padded = jnp.sum(
-                        jnp.where(seg_rows == row, seg, 0.0), axis=0)
+                    gated_ref[:, li * DC:(li + 1) * DC] = gated
+                if li + 1 < L:
+                    # off-chain: next layer's input-tap + state-tap terms
+                    s = ring_read(li + 1, t)
+                    pre = (jnp.dot(jnp.concatenate([x, s], axis=1),
+                                   wpair_ref[li],
+                                   preferred_element_type=jnp.float32)
+                           + bchain_ref[li + 1])
+                    if use_lc:
+                        pre = pre + lc_row(li + 1, i)
+                    # the chain: previous gate's folded dense contribution
+                    fg = abc[:, :2 * DC] + pre
+                    # off-chain bias-free residual update (biases folded
+                    # into bchain) feeds ring + later pres
+                    x = (x.astype(jnp.float32)
+                         + abc[:, 2 * DC:2 * DC + R]).astype(dtype)
+                    ring_write(li + 1, t, x)
 
-                if pack == 1:
-                    state = padded
-                    new_padded = cur
-                elif d == 1:
-                    # only lane-group 0 is ever used when d == 1
-                    state = padded[:, :R]
-                    new_padded = jnp.pad(cur, ((0, 0), (0, LANE - R)))
-                else:
-                    state = jax.lax.switch(
-                        group,
-                        [lambda p, k=k: p[:, k * R:(k + 1) * R]
-                         for k in range(pack)],
-                        padded)
-                    cur_tiled = jnp.concatenate([cur] * pack, axis=1)
-                    group_mask = lane_group_iota == group
-                    new_padded = jnp.where(group_mask, cur_tiled, padded)
-
-                if nrow == 1:
-                    ring_ref[off: off + 1, :, :] = new_padded[None]
-                else:
-                    ring_ref[off: off + nrow, :, :] = jnp.where(
-                        seg_rows == row, new_padded[None], seg)
-
-                xin = jnp.concatenate([cur, state], axis=1)     # [B, 2R]
-                fg = jnp.dot(xin, wfg_ref[li],
-                             preferred_element_type=jnp.float32) + bfg_ref[li]
-                if use_lc:
-                    lseg = lc_ref[0][:, li * 2 * DC:(li + 1) * 2 * DC]
-                    fg = fg + jnp.sum(
-                        jnp.where(lc_rows == i, lseg, 0.0), axis=0,
-                        keepdims=True)
-                gated = (jnp.tanh(fg[:, :DC])
-                         * jax.nn.sigmoid(fg[:, DC:])).astype(dtype)
-                gated_ref[:, li * DC:(li + 1) * DC] = gated
-                cur = (cur.astype(jnp.float32)
-                       + jnp.dot(gated, wdense_ref[li],
-                                 preferred_element_type=jnp.float32)
-                       + bdense_ref[li]).astype(dtype)
-
-            # --- all skip contributions in one matmul --------------------
-            skips = jnp.dot(gated_ref[:], wskip_ref[:],
-                            preferred_element_type=jnp.float32) + bskip_ref[:]
+            if use_sk:
+                # skip accumulation finished during the chain
+                skips = sk + bskip_ref[:]
+            else:
+                skips = jnp.dot(gated_ref[:], wskip_ref[:],
+                                preferred_element_type=jnp.float32
+                                ) + bskip_ref[:]
 
             h = jnp.maximum(skips, 0.0)
             h = jnp.maximum(
@@ -241,6 +394,8 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
 
             if deterministic:
                 scores = logits
+            elif noise_ref is not None:
+                scores = logits + noise_ref[pl.ds(i, 1)]      # T-scaled noise
             else:
                 bits = pltpu.prng_random_bits((B, Q))
                 # uint32->f32 unsupported in Mosaic; >>8 fits in int32/24 bits
@@ -255,12 +410,16 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             best = jnp.max(scores, axis=1, keepdims=True)
             code = jnp.min(jnp.where(scores == best, q_iota, Q), axis=1,
                            keepdims=True)                        # [B, 1]
-            oh_cur_ref[:] = (q_iota == code).astype(dtype)
+            out_vec = jnp.where(lane_iota == i, code, out_vec)
+            return ((q_iota == code).astype(dtype), cc_next, out_vec)
 
-            out_ref[0] = jnp.where(lane_iota == i, code, out_ref[0])
-            return carry
-
-        jax.lax.fori_loop(0, LANE, step, jnp.int32(0), unroll=False)
+        oh_cur0, ccprev0, out0 = jax.lax.fori_loop(
+            0, LANE, step,
+            (oh_cur_ref[:], ccprev_ref[:], jnp.zeros((B, LANE), jnp.int32)),
+            unroll=False)
+        oh_cur_ref[:] = oh_cur0      # persist across chunks
+        ccprev_ref[:] = ccprev0
+        out_ref[0] = out0
 
     grid_spec = pl.GridSpec(
         grid=(n_chunks,),
@@ -272,16 +431,18 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                          memory_space=pltpu.VMEM),                  # lc proj
         ] + [
             pl.BlockSpec(memory_space=pltpu.VMEM)                   # weights
-            for _ in range(11)
+            for _ in range(10 if use_sk else 11)
         ],
         out_specs=pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((total_rows_ring, B, ring_lanes), dtype),  # rings
             pltpu.VMEM((B, Q), dtype),                    # current one-hot
-            pltpu.VMEM((B, Q), dtype),                    # previous one-hot
-            pltpu.VMEM((B, L * DC), dtype),               # gated (lanes)
-        ],
+            pltpu.VMEM((B, 2 * DC + R), jnp.float32),     # prev causal half
+        ] + ([pltpu.VMEM((LANE, Q), jnp.float32)]        # chunk Gumbel noise
+             if use_noise else [])
+          + ([pltpu.VMEM((B, L * DC), dtype)]            # gated (lanes)
+             if not use_sk else []),
     )
     out_shape = jax.ShapeDtypeStruct((n_chunks, B, LANE), jnp.int32)
     return kernel, grid_spec, out_shape
@@ -302,7 +463,7 @@ class PallasWaveNetGenerator:
         self.dtype = dtype
         packed = pack_params(net, params, gc_ids)
         # Weight matrices in compute dtype; biases stay f32 (accumulators).
-        bias_keys = {"bfg", "bdense", "bskip", "b1", "b2"}
+        bias_keys = {"bchain", "bdense", "bskip", "b1", "b2"}
         self.packed = {
             k: jnp.asarray(v if k in bias_keys else v.astype(dtype))
             for k, v in packed.items()
@@ -370,10 +531,14 @@ class PallasWaveNetGenerator:
             lc_proj = jnp.zeros((n_chunks, LANE, 1), jnp.float32)
 
         p = self.packed
+        weight_args = [p["wcc"], p["wfstate0"], p["wpair"],
+                       p["wabc"] if batch == 1 else p["wab"],
+                       p["bchain"],
+                       p["bskip"], p["post1"], p["post2"], p["b1"], p["b2"]]
+        if batch != 1:
+            weight_args.append(p["wskip"])
         out = fn(jnp.asarray([seed], jnp.int32), forced, lc_proj,
-                 p["wc"], p["wfg"], p["bfg"], p["wdense"], p["bdense"],
-                 p["wskip"], p["bskip"], p["post1"], p["post2"],
-                 p["b1"], p["b2"])
+                 *weight_args)
         codes = jnp.transpose(out, (1, 0, 2)).reshape(batch, n_chunks * LANE)
         # codes[:, t] is the prediction for time t+1 (same convention as the
         # scan generator): the first free sample sits at prime_len-1.

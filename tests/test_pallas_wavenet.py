@@ -65,10 +65,12 @@ def test_pack_params_shapes():
     params = net.init(jax.random.PRNGKey(0))
     packed = pack_params(net, params)
     L, R, DC, S, Q = 6, 8, 8, 16, 128
-    assert packed["wc"].shape == (2 * Q, R)
-    assert packed["wfg"].shape == (L, 2 * R, 2 * DC)
-    assert packed["wdense"].shape == (L, DC, R)
-    assert packed["wskip"].shape == (L * DC, S)
+    assert packed["wcc"].shape == (2 * Q, 2 * DC + R)
+    assert packed["wfstate0"].shape == (R, 2 * DC)
+    assert packed["wpair"].shape == (L - 1, 2 * R, 2 * DC)
+    assert packed["wabc"].shape == (L, DC, 2 * DC + R + S)
+    assert packed["bchain"].shape == (L, 1, 2 * DC)
+    assert packed["bdense"].shape == (L, 1, R)
     assert packed["post2"].shape == (S, Q)
 
 
