@@ -12,6 +12,10 @@ from nspeech_tpu import dsp
 from nspeech_tpu.dsp.audio import periodic_hann
 from nspeech_tpu.dsp.mel import hz_to_mel, mel_filterbank, mel_to_hz
 
+
+pytestmark = pytest.mark.smoke  # fast contract tests
+
+
 CFG = load_config("taco1")
 N_FFT, HOP, WIN = stft_params(CFG)
 

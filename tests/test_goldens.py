@@ -19,6 +19,10 @@ from nspeech_tpu import dsp
 from nspeech_tpu.text import text_to_sequence
 from tests.goldens.make_goldens import GOLDEN_TEXTS, deterministic_wav
 
+
+pytestmark = pytest.mark.smoke  # fast contract tests
+
+
 HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 
 

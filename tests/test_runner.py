@@ -13,6 +13,10 @@ from nspeech_tpu.train.loop import TrainState
 from nspeech_tpu.train.runner import run_training
 
 
+pytestmark = pytest.mark.smoke  # fast contract tests
+
+
+
 def make_state(step=0):
     return TrainState(jnp.asarray(step, jnp.int32),
                       {"w": jnp.ones((2, 2))}, {}, {"m": jnp.zeros((2, 2))})

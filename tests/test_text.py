@@ -1,5 +1,7 @@
 """Text frontend unit tests (SURVEY.md §4.1 oracle set)."""
 
+import pytest
+
 from nspeech_tpu.text import sequence_to_text, text_to_sequence
 from nspeech_tpu.text.cleaners import (
     basic_cleaners,
@@ -9,6 +11,10 @@ from nspeech_tpu.text.cleaners import (
 )
 from nspeech_tpu.text.numbers import normalize_numbers, number_to_words, ordinal_to_words
 from nspeech_tpu.text.symbols import EOS_ID, PAD_ID, symbols
+
+
+pytestmark = pytest.mark.smoke  # fast contract tests
+
 
 CLEANERS = ["english_cleaners"]
 
