@@ -39,16 +39,17 @@ more and was validated by microbenchmark):
   (cbd_i @ (Wfcur_i + Wfstate_i)) folds into the per-layer constant.
 - Global conditioning is constant over the utterance, so gc @ W_gc folds
   into per-layer (per-stream) biases computed outside the kernel; local
-  conditioning is precomputed OUTSIDE the kernel as per-sample per-layer
-  bias rows (one XLA matmul) and streamed chunk-by-chunk through the grid
-  pipeline.
+  conditioning streams as RAW mel rows ([LANE, B, M] per chunk) and rides
+  INSIDE each layer's off-chain pre-dot ([x; s; mel] @ [Wfcur; Wfstate;
+  Wlc]) — no wide projection, no per-layer lane slicing.
 
 Batch lives on the sublane dimension: generating B streams costs barely
 more per step than one (the chain is latency-bound), so aggregate
 throughput scales ~linearly with batch up to the sublane tile. At B=1 the
 skip contribution accumulates from the per-layer fused matmul; at B>1
 gated activations collect in scratch for one [B, L*DC] @ [L*DC, S] matmul.
-Local conditioning currently supports batch=1 (the vocoder serving path).
+Local conditioning is batched: vocoding N mel-conditioned streams shares
+one serial chain.
 """
 
 from __future__ import annotations
@@ -141,13 +142,14 @@ def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
         jnp.concatenate([wfcur[i + 1], wfstate[i + 1]], axis=0)
         for i in range(L - 1)
     ]) if L > 1 else jnp.zeros((1, 2 * R, 2 * DC))    # [L-1, 2R, 2DC]
+    wfstate0 = wfstate[0]
 
     packed = {
         # causal folded straight into layer 0's gate: one dependent matmul
         # takes the input one-hots to [fg_0 | x_0]
         "wcc": jnp.concatenate([wc @ wfcur[0], wc], axis=1),  # [2Q, 2DC+R]
-        "wfstate0": wfstate[0],                      # [R, 2DC]
-        "wpair": wpair,                              # [L-1, 2R, 2DC]
+        "wfstate0": wfstate0,                        # [R(+M), 2DC]
+        "wpair": wpair,                              # [L-1, 2R(+M), 2DC]
         "wabc": wabc,                                # [L, DC, 2DC+R+S]
         # batched path: chain|dense only + one stacked skip matmul at the
         # end (per-layer skip accumulation beats it at B=1, loses at B>1)
@@ -163,7 +165,7 @@ def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
                           jnp.zeros((net.quantization_channels,))))[None, :],
     }
     if net.lc_channels:
-        packed["wlc"] = jnp.concatenate(wlc, axis=1)  # [M, L*2DC]
+        packed["wlcs"] = jnp.stack(wlc)               # [L, M, 2DC]
 
     # Single-transcendental gate: sigmoid(b) == (1 + tanh(b/2)) / 2, so
     # pre-halving every gate-half column lets the kernel evaluate ONE tanh
@@ -179,13 +181,17 @@ def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
     packed["wab"] = packed["wab"] * jnp.concatenate(
         [half_gate, jnp.ones((R,))])
     if net.lc_channels:
-        packed["wlc"] = packed["wlc"] * jnp.tile(half_gate, L)
+        packed["wlcs"] = packed["wlcs"] * half_gate
     return jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), packed)
 
 
 def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                  temperature: float, deterministic: bool, use_lc: bool,
                  dtype=jnp.float32):
+    """Builds the sampling kernel. Local conditioning ships as RAW mel rows
+    ([LANE, B, M] per chunk, ~100x smaller than per-layer projections) and
+    is projected in-kernel by ONE off-chain [B, M] @ [M, L*2DC] matmul per
+    step; per-layer contributions are then static lane slices."""
     L = len(net.dilations)
     dilations = list(net.dilations)
     R, DC, S, Q = (net.residual_channels, net.dilation_channels,
@@ -201,7 +207,7 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
     ring_lanes = R if pack == 1 else LANE
     inv_temp = 1.0 / max(temperature, 1e-6)
     B = batch
-    LCW = L * 2 * DC if use_lc else 1
+    M = net.lc_channels if use_lc else 1   # raw mel rows per chunk
 
     # Skip path: at B=1 per-layer accumulation from the fused wabc matmul
     # measures faster (it lives in one vreg row); at B>1 gated activations
@@ -217,16 +223,17 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                *rest):
         chunk = pl.program_id(0)
         rest = list(rest)
-        wskip_ref = None if use_sk else rest.pop(0)        # last input
+        wskip_ref = None if use_sk else rest.pop(0)        # extra inputs
+        wlcs_ref = rest.pop(0) if use_lc else None
         out_ref, ring_ref, oh_cur_ref, ccprev_ref = rest[:4]
         rest = rest[4:]
         noise_ref = rest.pop(0) if use_noise else None
         gated_ref = rest.pop(0) if not use_sk else None
+        lcproj_ref = rest.pop(0) if use_lc else None
 
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
         lane_group_iota = lane_iota // R
-        lc_rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, 2 * DC), 0)
 
         @pl.when(chunk == 0)
         def _init():
@@ -239,6 +246,19 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             # causal past-tap contribution is zero too.
             oh_cur_ref[:] = (q_iota == Q // 2).astype(dtype)
             ccprev_ref[:] = jnp.zeros_like(ccprev_ref)
+
+        if use_lc:
+            # Project the whole chunk's mel rows for every layer in one
+            # batched pass (50 [LANE*B, M] @ [M, 2DC] matmuls per 128
+            # samples); the hot loop then does one row read + add per
+            # layer. In-loop per-layer dots measured pathologically slow
+            # (scheduling/pressure), though cheap in isolation.
+            mel_flat = lc_ref[0].astype(jnp.float32).reshape(LANE * B, M)
+            for li in range(L):
+                proj = jnp.dot(mel_flat, wlcs_ref[li],
+                               preferred_element_type=jnp.float32)
+                lcproj_ref[li * LANE:(li + 1) * LANE] = proj.reshape(
+                    LANE, B, 2 * DC)
 
         if noise_ref is not None:
             # Draw the whole chunk's Gumbel noise in one vectorized pass —
@@ -300,12 +320,6 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             else:
                 ring_ref[pl.ds(off + slot // pack, 1)] = new_row[None]
 
-        def lc_row(li, i):
-            """The local-conditioning gate bias row for layer li, sample i."""
-            lseg = lc_ref[0][:, li * 2 * DC:(li + 1) * 2 * DC]
-            return jnp.sum(jnp.where(lc_rows == i, lseg, 0.0), axis=0,
-                           keepdims=True)
-
         def step(i, carry):
             # One-hots, the previous input's causal half, and the output
             # row live in the loop carry (vector registers): no per-step
@@ -343,7 +357,7 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                            preferred_element_type=jnp.float32)
                    + bchain_ref[0])
             if use_lc:
-                pre = pre + lc_row(0, i)
+                pre = pre + lcproj_ref[pl.ds(i, 1)][0]
             ring_write(0, t, x)
             fg = cc[:, :2 * DC] + pre
             sk = jnp.zeros((B, S), jnp.float32)
@@ -368,7 +382,8 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                                    preferred_element_type=jnp.float32)
                            + bchain_ref[li + 1])
                     if use_lc:
-                        pre = pre + lc_row(li + 1, i)
+                        pre = pre + lcproj_ref[
+                            pl.ds((li + 1) * LANE + i, 1)][0]
                     # the chain: previous gate's folded dense contribution
                     fg = abc[:, :2 * DC] + pre
                     # off-chain bias-free residual update (biases folded
@@ -427,11 +442,11 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),                  # seed
             pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),                  # forced
-            pl.BlockSpec((1, LANE, LCW), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),                  # lc proj
+            pl.BlockSpec((1, LANE, B, M), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                  # lc mel
         ] + [
             pl.BlockSpec(memory_space=pltpu.VMEM)                   # weights
-            for _ in range(10 if use_sk else 11)
+            for _ in range((10 if use_sk else 11) + (1 if use_lc else 0))
         ],
         out_specs=pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -442,7 +457,9 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
         ] + ([pltpu.VMEM((LANE, Q), jnp.float32)]        # chunk Gumbel noise
              if use_noise else [])
           + ([pltpu.VMEM((B, L * DC), dtype)]            # gated (lanes)
-             if not use_sk else []),
+             if not use_sk else [])
+          + ([pltpu.VMEM((L * LANE, B, 2 * DC), jnp.float32)]  # lc chunk
+             if use_lc else []),
     )
     out_shape = jax.ShapeDtypeStruct((n_chunks, B, LANE), jnp.int32)
     return kernel, grid_spec, out_shape
@@ -482,6 +499,10 @@ class PallasWaveNetGenerator:
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=self.interpret,
+                # the per-chunk lc projection scratch can exceed the 16MB
+                # default scoped-vmem budget at larger batches
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
             )
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
@@ -493,17 +514,18 @@ class PallasWaveNetGenerator:
                  deterministic: bool = False) -> jnp.ndarray:
         """Generate mu-law codes [batch, n_samples].
 
-        ``lc``: per-sample local conditioning [1, prime_len + n_samples, M]
-        (batch=1 only). ``deterministic=True`` replaces Gumbel sampling with
-        argmax (used for equivalence tests against the scan generator).
+        ``lc``: per-sample local conditioning [batch, prime_len + n_samples,
+        M]. ``deterministic=True`` replaces Gumbel sampling with argmax
+        (used for equivalence tests against the scan generator).
         """
         use_lc = lc is not None
         if use_lc and not self.net.lc_channels:
             raise ValueError("model has lc_channels=0; cannot condition")
         if self.net.lc_channels and not use_lc:
             raise ValueError("locally-conditioned model needs lc=")
-        if use_lc and batch != 1:
-            raise NotImplementedError("Pallas lc generation is batch=1")
+        if use_lc and lc.shape[0] != batch:
+            raise ValueError(
+                f"lc batch {lc.shape[0]} != generation batch {batch}")
 
         prime_len = 0 if seed_codes is None else int(seed_codes.shape[1])
         total = prime_len + n_samples
@@ -517,18 +539,18 @@ class PallasWaveNetGenerator:
         forced = jnp.asarray(
             forced.reshape(batch, n_chunks, LANE).transpose(1, 0, 2))
 
-        L, DC = len(self.net.dilations), self.net.dilation_channels
         if use_lc:
-            # One XLA matmul projects mel features into per-layer gate
-            # biases for every sample; the kernel streams it per chunk.
-            lc = jnp.asarray(lc, jnp.float32)[0]            # [T, M]
-            if lc.shape[0] < n_chunks * LANE:
-                lc = jnp.pad(lc, ((0, n_chunks * LANE - lc.shape[0]), (0, 0)))
-            lc_proj = (lc[: n_chunks * LANE] @ self.packed["wlc"]).astype(
-                jnp.float32)
-            lc_proj = lc_proj.reshape(n_chunks, LANE, L * 2 * DC)
+            # Raw per-stream mel rows, chunked; the kernel projects them
+            # with one off-chain matmul per step (in-kernel wlc).
+            lc = jnp.asarray(lc, jnp.float32)               # [B, T, M]
+            if lc.shape[1] < n_chunks * LANE:
+                lc = jnp.pad(
+                    lc, ((0, 0), (0, n_chunks * LANE - lc.shape[1]), (0, 0)))
+            lc_mel = jnp.transpose(
+                lc[:, : n_chunks * LANE], (1, 0, 2)).reshape(
+                    n_chunks, LANE, batch, self.net.lc_channels)
         else:
-            lc_proj = jnp.zeros((n_chunks, LANE, 1), jnp.float32)
+            lc_mel = jnp.zeros((n_chunks, LANE, batch, 1), jnp.float32)
 
         p = self.packed
         weight_args = [p["wcc"], p["wfstate0"], p["wpair"],
@@ -537,7 +559,9 @@ class PallasWaveNetGenerator:
                        p["bskip"], p["post1"], p["post2"], p["b1"], p["b2"]]
         if batch != 1:
             weight_args.append(p["wskip"])
-        out = fn(jnp.asarray([seed], jnp.int32), forced, lc_proj,
+        if use_lc:
+            weight_args.append(p["wlcs"])
+        out = fn(jnp.asarray([seed], jnp.int32), forced, lc_mel,
                  *weight_args)
         codes = jnp.transpose(out, (1, 0, 2)).reshape(batch, n_chunks * LANE)
         # codes[:, t] is the prediction for time t+1 (same convention as the

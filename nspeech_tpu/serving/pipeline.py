@@ -61,21 +61,38 @@ class WaveNetVocoder:
     def vocode(self, mel: np.ndarray, speaker_id: Optional[int] = None,
                temperature: float = 1.0, seed: int = 0) -> np.ndarray:
         """mel: [T_frames, M] normalized mel -> float waveform."""
+        wavs = self.vocode_batch(
+            np.asarray(mel)[None],
+            None if speaker_id is None else [speaker_id],
+            temperature=temperature, seed=seed)
+        return wavs[0]
+
+    def vocode_batch(self, mels: np.ndarray, speaker_ids=None,
+                     temperature: float = 1.0, seed: int = 0) -> np.ndarray:
+        """mels: [N, T_frames, M] (equal lengths; pad upstream) -> [N, T*hop]
+        waveforms. All N streams share one Pallas sampling chain (batch on
+        the sublane dim costs barely more than one stream)."""
         if self.net.lc_channels <= 0:
             raise ValueError(
                 "Vocoder checkpoint was trained without local conditioning "
                 "(lc_channels=0); it cannot follow a mel spectrogram.")
-        n_samples = mel.shape[0] * self._hop
-        lc = upsample_frames(np.asarray(mel), self._hop, n_samples)[None]
+        mels = np.asarray(mels)
+        n = mels.shape[0]
+        n_samples = mels.shape[1] * self._hop
+        # device-resident: host->device streaming of the upsampled mels
+        # would otherwise dominate (~2.5KB/sample/stream)
+        lc = jax.device_put(np.stack([
+            np.asarray(upsample_frames(m, self._hop, n_samples))
+            for m in mels]))                             # [N, T*hop, M]
         gc_ids = None
-        if speaker_id is not None and self.net.gc_channels:
-            gc_ids = np.asarray([speaker_id], np.int32)
+        if speaker_ids is not None and self.net.gc_channels:
+            gc_ids = np.asarray(speaker_ids, np.int32)
 
         codes = None
         if self._use_pallas and jax.default_backend() not in ("cpu",):
             try:
                 # The generator folds gc into its packed biases, so it must
-                # be rebuilt when the requested speaker changes.
+                # be rebuilt when the requested speakers change.
                 gc_key = None if gc_ids is None else tuple(np.asarray(gc_ids))
                 if self._pallas_gen is None or self._pallas_gc != gc_key:
                     from nspeech_tpu.ops.pallas.wavenet_gen import (
@@ -84,17 +101,17 @@ class WaveNetVocoder:
                     self._pallas_gen = PallasWaveNetGenerator(
                         self.net, self._params, gc_ids=gc_ids)
                     self._pallas_gc = gc_key
-                codes = self._pallas_gen(n_samples, seed=seed, lc=lc,
-                                         temperature=temperature)
+                codes = self._pallas_gen(n_samples, seed=seed, batch=n,
+                                         lc=lc, temperature=temperature)
             except (NotImplementedError, ValueError):
                 # unsupported model shape or backend: use the scan path
                 self._use_pallas = False
                 codes = None
         if codes is None:
             codes = self.net.generate(
-                self._params, n_samples, jax.random.PRNGKey(seed), batch=1,
+                self._params, n_samples, jax.random.PRNGKey(seed), batch=n,
                 gc_ids=gc_ids, lc=lc, temperature=temperature)
-        return np.asarray(dsp.mu_law_decode(codes[0],
+        return np.asarray(dsp.mu_law_decode(codes,
                                             self.net.quantization_channels))
 
 
@@ -123,3 +140,27 @@ class TextToSpeech:
             temperature=temperature)
         wav = wav[: dsp.find_endpoint(wav, self.synthesizer.cfg)]
         return wav, mel, lin
+
+    def synthesize_batch(self, texts, speaker_ids=None,
+                         temperature: float = 1.0):
+        """Batch pipeline: one padded acoustic forward + ONE batched
+        vocoder chain for N texts. Returns (wavs list, mels, linears)."""
+        wavs_gl, mels, lins = self.synthesizer.synthesize_batch(
+            texts, speaker_ids)
+        if self.vocoder is None:
+            return wavs_gl, mels, lins
+        hop = self.vocoder._hop
+        # Vocode up to the longest speech-bearing frame (per-stream trim
+        # after), so all streams share one fixed-shape kernel call.
+        frames = [max(int(np.ceil(len(w) / hop)), 1) for w in wavs_gl]
+        t_max = max(frames)
+        gc = None
+        if speaker_ids is not None:
+            gc = [s if s is not None and s >= 0 else 0 for s in speaker_ids]
+        batch_wavs = self.vocoder.vocode_batch(
+            mels[:, :t_max], gc, temperature=temperature)
+        out = []
+        for i, w in enumerate(batch_wavs):
+            w = w[: frames[i] * hop]
+            out.append(w[: dsp.find_endpoint(w, self.synthesizer.cfg)])
+        return out, mels, lins

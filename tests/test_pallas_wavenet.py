@@ -116,3 +116,36 @@ def test_pallas_batched_matches_scan(rng):
     np.testing.assert_array_equal(scan_out, pallas_out)
     # streams with different speakers diverge
     assert not np.array_equal(pallas_out[0], pallas_out[1])
+
+
+def test_pallas_batched_local_conditioning_matches_scan(rng):
+    """Vocoding N=4 mel-conditioned streams through ONE kernel chain
+    (VERDICT r1 item 7) matches per-stream scan generation."""
+    net = tiny_net("lc_channels=5")
+    params = net.init(jax.random.PRNGKey(0))
+    N, n = 4, 18
+    lc = jnp.array(rng.random((N, n, 5)), jnp.float32)
+    scan_out = np.asarray(net.generate(params, n, jax.random.PRNGKey(1),
+                                       batch=N, lc=lc, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(net, params, n, batch=N, lc=lc,
+                                            deterministic=True,
+                                            interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)
+
+
+def test_pallas_batched_lc_with_gc_and_priming(rng):
+    """Batched lc composes with per-stream speakers and priming."""
+    net = tiny_net("lc_channels=5,gc_channels=4,gc_category_cardinality=3")
+    params = net.init(jax.random.PRNGKey(0))
+    N, n = 4, 12
+    prime = net.receptive_field + 2
+    lc = jnp.array(rng.random((N, prime + n, 5)), jnp.float32)
+    gc = jnp.array([0, 1, 2, 1], jnp.int32)
+    seeds = jnp.array(rng.integers(0, 128, (N, prime)), jnp.int32)
+    scan_out = np.asarray(net.generate(
+        params, n, jax.random.PRNGKey(1), batch=N, lc=lc, gc_ids=gc,
+        seed_codes=seeds, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(
+        net, params, n, batch=N, lc=lc, gc_ids=gc, seed_codes=seeds,
+        deterministic=True, interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)

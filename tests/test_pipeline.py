@@ -48,3 +48,33 @@ def test_text_to_waveform_via_wavenet():
     assert wav_gl.ndim == 1 and np.isfinite(wav_gl).all()
     # vocoded length tracks the GL endpoint to within one frame
     assert abs(wav.shape[0] - wav_gl.shape[0]) <= hop
+
+
+def test_batch_text_to_waveform_via_wavenet():
+    """N texts -> one padded acoustic forward -> one batched vocoder chain."""
+    cfg = load_config("taco2")
+    cfg.parse(
+        "max_iters=3,encoder_conv_layers=1,postnet_conv_layers=1,"
+        "expand_conv_layers=1,encoder_conv_channels=16,attention_dim=16,"
+        "postnet_conv_channels=16,expand_conv_channels=16,"
+        "decoder_lstm_units=16,encoder_lstm_units=8,expand_lstm_units=8,"
+        "embedding_dim=16,griffin_lim_iters=1")
+    model = create_model("taco2", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, bn_state, model=model)
+
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=80,batch_size=1")
+    net = create_model("wavenet", vcfg)
+    vocoder = WaveNetVocoder(vcfg).set_variables(net, net.init(jax.random.PRNGKey(1)))
+
+    tts = TextToSpeech(synth, vocoder)
+    wavs, mels, lins = tts.synthesize_batch(["hi there", "bye now"])
+    assert len(wavs) == 2 and mels.shape[0] == 2
+    hop = 250
+    for w in wavs:
+        assert 0 < w.shape[0] <= mels.shape[1] * hop
+        assert np.isfinite(w).all() and np.abs(w).max() <= 1.0
