@@ -59,8 +59,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays with the batch axis over ``data``."""
+    """Place a pytree of host arrays with the batch axis over ``data``.
+
+    Single-process: a plain sharded device_put. Multi-host (after
+    ``initialize_multihost``): each process passes its PER-HOST shard of
+    the batch (the feeders already shard by ``shard_index/shard_count``)
+    and the pieces assemble into one global array over DCN.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
