@@ -423,10 +423,19 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
 
             # --- sample per row without leaving vector registers ---------
             best = jnp.max(scores, axis=1, keepdims=True)
+            # the emitted integer code (exact min-index tie-break) is only
+            # consumed by the output buffer — off the serial chain
             code = jnp.min(jnp.where(scores == best, q_iota, Q), axis=1,
                            keepdims=True)                        # [B, 1]
             out_vec = jnp.where(lane_iota == i, code, out_vec)
-            return ((q_iota == code).astype(dtype), cc_next, out_vec)
+            if deterministic:
+                oh_next = (q_iota == code).astype(dtype)
+            else:
+                # scores carry continuous Gumbel noise, so the equality
+                # mask IS the argmax one-hot (ties are measure-zero); this
+                # skips the code->one-hot round trip on the serial path
+                oh_next = (scores == best).astype(dtype)
+            return (oh_next, cc_next, out_vec)
 
         oh_cur0, ccprev0, out0 = jax.lax.fori_loop(
             0, LANE, step,
