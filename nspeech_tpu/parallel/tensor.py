@@ -1,14 +1,16 @@
-"""Tensor parallelism: shard the big decoder weights over the mesh's
+"""Tensor parallelism: shard the Tacotron-2 weights over the mesh's
 ``model`` axis.
 
 The reference has no TP (SURVEY.md §2.7 marks it an optional axis for the
 1024-unit decoder). Here it is expressed purely through shardings: a rules
 table maps parameter key-paths to PartitionSpecs, the train state is placed
 accordingly, and GSPMD partitions the matmuls and inserts the collectives —
-no model-code changes. The LSTM gate kernels are column-sharded (each shard
-computes a slice of the 4*units gate vector) and the frame projection is
-row-sharded, so the decoder's per-step matmuls run model-parallel inside
-the scan.
+no model-code changes. Coverage: all LSTM gate kernels (decoder, attention,
+encoder/expand BiLSTMs) column-sharded; frame and linear projections
+row-sharded (they contract sharded activations); the prenet as a Megatron
+column->row pair; the attention energy with its three projections and ``v``
+sharded consistently over the attention dims (the energy becomes a psum of
+partial dots); conv stacks over output channels with BN params following.
 
 At nspeech model sizes TP is a capability demonstration more than a win
 (the matmuls are small); it matters when decoder width is scaled up.
@@ -26,11 +28,38 @@ from nspeech_tpu.parallel.mesh import MODEL_AXIS
 
 # (key-path regex, spec). First match wins; default replicated.
 TACO2_TP_RULES: List[Tuple[str, P]] = [
-    # decoder LSTMs: column-parallel gates
-    (r"\['lstm[12]'\]\['kernel'\]", P(None, MODEL_AXIS)),
-    (r"\['lstm[12]'\]\['bias'\]", P(MODEL_AXIS)),
+    # decoder + attention LSTMs: column-parallel gates
+    (r"\['(lstm[12]|attn_lstm)'\]\['kernel'\]", P(None, MODEL_AXIS)),
+    (r"\['(lstm[12]|attn_lstm)'\]\['bias'\]", P(MODEL_AXIS)),
     # frame projection: row-parallel (contracts the sharded LSTM output)
     (r"\['frame_proj'\]\['kernel'\]", P(MODEL_AXIS, None)),
+    # prenet: Megatron-style column then row (relu is elementwise on the
+    # column-sharded hidden)
+    (r"\['decoder_prenet'\]\['layers'\]\[0\]\['kernel'\]",
+     P(None, MODEL_AXIS)),
+    (r"\['decoder_prenet'\]\['layers'\]\[0\]\['bias'\]", P(MODEL_AXIS)),
+    (r"\['decoder_prenet'\]\['layers'\]\[1\]\['kernel'\]",
+     P(MODEL_AXIS, None)),
+    # attention energy: all three projections column-sharded consistently
+    # (each shard holds a slice of the attention dims inside the tanh) and
+    # v sharded the same way, so the energy is a psum of partial dots
+    (r"\['attention'\]\['(memory|query|location)_layer'\]\['kernel'\]",
+     P(None, MODEL_AXIS)),
+    (r"\['attention'\]\['v'\]", P(MODEL_AXIS)),
+    # encoder/expand BiLSTMs: column-parallel gates
+    (r"\['(encoder|expand)'\]\['lstm_[fb]w'\]\['kernel'\]",
+     P(None, MODEL_AXIS)),
+    (r"\['(encoder|expand)'\]\['lstm_[fb]w'\]\['bias'\]", P(MODEL_AXIS)),
+    # conv stacks: output channels sharded (BN params follow channels)
+    (r"\['(encoder|expand|postnet)'\]\['convs'\]\[\d+\]\['conv'\]"
+     r"\['kernel'\]", P(None, None, MODEL_AXIS)),
+    (r"\['(encoder|expand|postnet)'\]\['convs'\]\[\d+\]\['conv'\]"
+     r"\['bias'\]", P(MODEL_AXIS)),
+    (r"\['(encoder|expand|postnet)'\]\['convs'\]\[\d+\]\['bn'\]"
+     r"\['(scale|offset)'\]", P(MODEL_AXIS)),
+    # linear projection: row-parallel — 1025 freq bins don't divide evenly,
+    # so contract the (sharded) 512-dim input instead
+    (r"\['linear_proj'\]\['kernel'\]", P(MODEL_AXIS, None)),
 ]
 
 

@@ -41,9 +41,22 @@ def make_batch(rng, n=4):
 
 
 def test_tp_rules():
-    assert spec_for_path("['lstm1']['kernel']") == jax.sharding.PartitionSpec(None, "model")
-    assert spec_for_path("['frame_proj']['kernel']") == jax.sharding.PartitionSpec("model", None)
-    assert spec_for_path("['encoder']['convs'][0]['conv']['kernel']") == jax.sharding.PartitionSpec()
+    P = jax.sharding.PartitionSpec
+    assert spec_for_path("['lstm1']['kernel']") == P(None, "model")
+    assert spec_for_path("['attn_lstm']['kernel']") == P(None, "model")
+    assert spec_for_path("['frame_proj']['kernel']") == P("model", None)
+    # Megatron column->row prenet
+    assert spec_for_path("['decoder_prenet']['layers'][0]['kernel']") == P(None, "model")
+    assert spec_for_path("['decoder_prenet']['layers'][1]['kernel']") == P("model", None)
+    # attention energy consistently sharded over attention dims
+    assert spec_for_path("['attention']['memory_layer']['kernel']") == P(None, "model")
+    assert spec_for_path("['attention']['v']") == P("model")
+    # conv channels sharded; location conv (21 filters) stays replicated
+    assert spec_for_path("['encoder']['convs'][0]['conv']['kernel']") == P(None, None, "model")
+    assert spec_for_path("['attention']['location_conv']['kernel']") == P()
+    # 1025 freq bins don't divide: row-parallel linear projection
+    assert spec_for_path("['linear_proj']['kernel']") == P("model", None)
+    assert spec_for_path("['embedding']['table']") == P()
 
 
 def test_tp_step_matches_dp(rng):
