@@ -60,12 +60,20 @@ def process_utterance(
                 return Utterance(utt_id, z["wav"], z["linear"], z["mel"],
                                  int(z["linear"].shape[0]))
 
+    import jax
+
     from nspeech_tpu import native
 
     wav = dsp.trim_wav(native.load_wav(wav_path, cfg.sample_rate))
-    linear, mel = dsp.spectrograms(wav, cfg)
-    linear = np.asarray(linear)
-    mel = np.asarray(mel)
+    # Featurization is INPUT-PIPELINE work: pin it to the host CPU backend
+    # so it neither occupies the accelerator nor (on remote-compiled
+    # setups) stalls first batches for minutes compiling per-bucket STFT
+    # programs through the relay. The fused jnp featurizer still runs
+    # compiled — just on the CPU client.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        linear, mel = dsp.spectrograms(wav, cfg)
+        linear = np.asarray(linear)
+        mel = np.asarray(mel)
 
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)

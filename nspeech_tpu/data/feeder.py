@@ -166,6 +166,14 @@ class DataFeeder:
         rng = np.random.default_rng((self._seed, epoch))
         order = rng.permutation(len(self._items))
         n = cfg.batch_size
+        if len(order) < n:
+            # Tiny corpus/shard: wrap around so a full batch still forms
+            # (the reference's feeder cycles its cursor and never starves,
+            # datafeeder.py:160-176). Without this an epoch yields zero
+            # batches and the prefetch producer would spin forever.
+            reps = -(-n // len(order))
+            order = np.concatenate(
+                [rng.permutation(len(self._items)) for _ in range(reps)])
         group_size = n * cfg.batch_group_size
         for g in range(0, len(order) - n + 1, group_size):
             group_idx = order[g: g + group_size]
@@ -198,10 +206,17 @@ class DataFeeder:
             epoch = 0
             try:
                 while not stop.is_set():
+                    yielded = 0
                     for b in self.epoch_batches(epoch):
                         q.put(b)
+                        yielded += 1
                         if stop.is_set():
                             return
+                    if yielded == 0:  # defensive: never silently spin
+                        raise RuntimeError(
+                            f"epoch {epoch} produced no batches "
+                            f"({len(self._items)} items, batch_size="
+                            f"{self._cfg.batch_size})")
                     epoch += 1
             except BaseException as e:  # propagate to consumer
                 error.append(e)

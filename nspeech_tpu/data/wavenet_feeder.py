@@ -77,6 +77,8 @@ class WaveNetFeeder:
         """Yield (audio_window, speaker_id, mel_window) for one utterance."""
         from nspeech_tpu import native
 
+        import jax
+
         wav_path, _text, local_speaker, dataset_id = item
         speaker_id = self.speaker2id[(dataset_id, str(local_speaker))]
         wav = native.load_wav(wav_path, self._cfg.sample_rate)
@@ -86,8 +88,11 @@ class WaveNetFeeder:
                 return  # silence-only utterance: skip (the reference warned
                 # and then processed it anyway, WavenetDataFeeder.py:116-119)
         wav = np.pad(wav, (self.receptive_field, 0))
-        # Per-utterance mel at per-sample resolution (computed once).
-        _, mel = dsp.spectrograms(wav, self._cfg)
+        # Per-utterance mel at per-sample resolution (computed once) —
+        # input-pipeline work, pinned to the host CPU backend (see
+        # data/features.py note).
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            _, mel = dsp.spectrograms(wav, self._cfg)
         mel_samples = upsample_frames(np.asarray(mel), self._hop, len(wav))
         offset = 0
         while len(wav) - offset > self.window:

@@ -191,3 +191,15 @@ def test_cache_key_tracks_file_identity(corpus, cfg, tmp_path):
     os.utime(wav, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     k2 = _cache_path(str(tmp_path / "c"), wav, cfg)
     assert k1 != k2
+
+
+def test_feeder_tiny_corpus_wraps_to_fill_batch(corpus, cfg):
+    """A shard smaller than batch_size wraps around instead of starving
+    (the reference feeder cycles its cursor, datafeeder.py:160-176)."""
+    big = load_config("taco1")
+    big.parse("batch_size=16,batch_group_size=2")
+    feeder = DataFeeder({"ljspeech": corpus}, big, seed=3)
+    batch = next(iter(feeder.epoch_batches(0)))
+    assert batch.inputs.shape[0] == 16
+    b2 = next(feeder.batches())  # threaded path must not spin
+    assert b2.inputs.shape[0] == 16
