@@ -60,11 +60,12 @@ def harvard_eval(args, synth, cfg, base_path: str) -> None:
 
 
 def run_eval(args, cfg) -> None:
-    synth = Synthesizer(cfg)
+    synth = Synthesizer(cfg, text_bucket=args.text_bucket)
     synth.load(args.checkpoint, args.model, step=args.checkpoint_step)
     step = args.checkpoint_step if args.checkpoint_step is not None else "latest"
-    base_path = os.path.join(args.output_dir or os.path.dirname(args.checkpoint),
-                             "eval-%s" % step)
+    out_dir = args.output_dir or os.path.dirname(args.checkpoint)
+    os.makedirs(out_dir, exist_ok=True)
+    base_path = os.path.join(out_dir, "eval-%s" % step)
     simple_eval(args, synth, cfg, base_path)
     if not args.skip_harvard:
         harvard_eval(args, synth, cfg, base_path)
@@ -82,6 +83,10 @@ def main() -> None:
                         help="Speaker count the checkpoint was trained with")
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--skip-harvard", action="store_true")
+    parser.add_argument("--text-bucket", type=int, default=32,
+                        help="Pad text lengths up to multiples of this; "
+                        "bigger buckets = fewer recompiles across sentences "
+                        "(useful on CPU where each bucket compile is slow)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
