@@ -3,53 +3,60 @@
 The generation loop runs inside ONE kernel launch as a grid over 128-sample
 chunks: weights and the dilation ring buffers stay resident in VMEM across
 the whole utterance (scratch persists over the sequential TPU grid), while
-the per-chunk inputs/outputs (forced priming codes, local-conditioning
-projections, emitted codes) are double-buffered through the Pallas pipeline.
-This replaces the reference's one-session-call-per-sample queue generator
+the per-chunk inputs/outputs (forced priming codes, local-conditioning mel
+rows, emitted codes) are double-buffered through the Pallas pipeline. This
+replaces the reference's one-session-call-per-sample queue generator
 (reference: generate_wavenet.py:109-122, wavenet.py:487-557).
 
-Kernel design rules (measured on v5e — every rule below is worth 2x or
-more and was validated by microbenchmark):
-- The serial budget is DEPENDENT-OP LATENCY: a dependent small matmul
-  costs ~85ns and any VPU op between two dependent matmuls adds ~80ns of
-  handoff, while INDEPENDENT matmuls pipeline underneath for free. The
-  whole kernel is therefore reassociated so each layer puts exactly ONE
-  matmul + one tanh on the chain: fg_{i+1} = g_i @ (Wdense_i @ Wfcur_{i+1})
-  + [x_i ; s_{i+1}] @ [Wfcur; Wfstate] + bias, with the residual updates,
-  state taps, and skip contributions all off-chain. The causal layer is
-  folded into layer 0's gate (wcc), split so the past-tap half is computed
-  one step early and carried.
-- Dynamic indexing on the LEADING (untiled) dim of a VMEM ref is plain
-  address arithmetic (~10ns) — rings are read/written with pl.ds row
-  slices. Dynamic SUBLANE/LANE indexing and iota-mask selects over whole
-  segments lower pathologically (~870ns per d=512 layer — round 1's
-  hidden cost).
-- One transcendental per layer: sigmoid(b) == (1 + tanh(b/2))/2 with the
-  1/2 pre-scaled into every gate-half weight column, so the gate is a
-  single tanh over [filter|gate] plus one fma + one multiply.
+Kernel design rules (measured on v5e; the serial budget is DEPENDENT-OP
+LATENCY — a dependent small matmul costs ~85ns and every VPU op on the
+dependence chain adds ~25-30ns, while INDEPENDENT work pipelines
+underneath for free):
+
+- The serial chain is THREE VPU ops + ONE matmul per layer:
+  ``th = tanh(out)`` then, in parallel, ``m = th*c1 + c2`` (the sigmoid
+  half via the tanh identity) and ``r = roll(th, -DC)`` (aligning the
+  filter half), then one fused-multiply-add ``v = r*m + xs1`` builds the
+  ENTIRE next matmul input, and ``out = v @ W`` closes the layer.
+- Everything else rides inside that one [128, 128+S] matmul. With
+  ``v = [gated | x_prev | s | 1]``, W's row blocks are
+  [chain block wdense@wfcur | wdense | wskip] for the gated rows,
+  [wfcur | I] for the residual rows (the residual UPDATE is the identity
+  block — no separate add), [wfstate | 0] for the state-tap rows, and the
+  accumulated layer bias in the constant-1 row. The former per-layer
+  pre-dot, pre-add, and residual update all disappear from the program.
+- Gate columns are laid out [g | f] with the tanh-identity 1/2 folded into
+  the g half (sigmoid(b) == (1 + tanh(b/2))/2), so ``m`` needs no roll —
+  sigma(g) lands at lanes 0:DC where the product happens.
+- Ring rows are stored in the matmul-output layout ([.., x@2DC:2DC+R,
+  1@2DC+R]) so a RAW ring row IS the [s, 1] tail of a future ``v``:
+  ``xs1 = where(x-lanes, roll(out), ring_row)`` is one blend. Dynamic
+  indexing on the LEADING (untiled) dim of a VMEM ref is plain address
+  arithmetic (~10ns); rings are read/written with pl.ds row slices.
 - Cross-step state (one-hots, the carried causal half, the output row)
-  rides in fori_loop carries (vector registers), stored to scratch once
-  per 128-sample chunk, not per step.
+  rides in fori_loop carries (vector registers); the causal layer is
+  folded into the input one-hot matmul (wcc), split so the past-tap half
+  is computed one step early and carried.
 - Gumbel noise for a whole chunk is drawn in one vectorized pass with the
   temperature folded in (argmax(l/T + g) == argmax(l + gT)); per step the
-  sampling path is one row read + add + max/min reduction. Sampled codes
-  never leave vector registers.
-- Per-layer dense biases are NOT added in the loop: the residual is
-  tracked bias-free and the cumulative bias's gate contribution
-  (cbd_i @ (Wfcur_i + Wfstate_i)) folds into the per-layer constant.
-- Global conditioning is constant over the utterance, so gc @ W_gc folds
-  into per-layer (per-stream) biases computed outside the kernel; local
-  conditioning streams as RAW mel rows ([LANE, B, M] per chunk) and rides
-  INSIDE each layer's off-chain pre-dot ([x; s; mel] @ [Wfcur; Wfstate;
-  Wlc]) — no wide projection, no per-layer lane slicing.
+  sampling path is one row read + add + max/min reduction.
+- Global conditioning is constant over the utterance: at B=1 it folds
+  into the shared bias row of W (zero chain cost); at B>1 it becomes a
+  per-stream per-layer side constant summed off-chain into the lc add.
+  Local conditioning streams as RAW mel rows, projected for the whole
+  chunk in one batched pass per layer; the only serial cost is ONE add
+  per layer. At B=1 the rows are stored LANE-wide (no per-step pad, the
+  fastest measured variant); batched runs store them narrow ([B, 2DC])
+  and pad off-chain, trading ~50ns/layer of off-chain work for 2x less
+  scratch. (In-loop per-layer lc dots measured slower than chunk
+  projection at every batch — matmul issue pressure.) NOTE when
+  benchmarking lc on this testbed: ship the mel to the device FIRST —
+  a host-resident lc array is transferred through the axon relay at
+  ~40MB/s and dominates wall-clock, masquerading as kernel time.
 
 Batch lives on the sublane dimension: generating B streams costs barely
 more per step than one (the chain is latency-bound), so aggregate
-throughput scales ~linearly with batch up to the sublane tile. At B=1 the
-skip contribution accumulates from the per-layer fused matmul; at B>1
-gated activations collect in scratch for one [B, L*DC] @ [L*DC, S] matmul.
-Local conditioning is batched: vocoding N mel-conditioned streams shares
-one serial chain.
+throughput scales ~linearly with batch up to the sublane tile.
 """
 
 from __future__ import annotations
@@ -70,202 +77,208 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
-    """Restructure WaveNet params into the kernel's fused layout. When
-    ``gc_ids`` has B entries the gate biases become per-stream. Includes
-    ``wlc`` ([lc_channels, L*2DC]) when the net is locally conditioned.
+    """Restructure WaveNet params into the kernel's fused layout.
 
-    The layout implements the chain-shortening reassociation
-    ``fg_{i+1} = x_i @ Wfcur_{i+1} + g_i @ (Wdense_i @ Wfcur_{i+1}) + ...``:
-    only ``g_i @ wgb_i`` sits on the serial dependence chain; the residual
-    updates and state-tap matmuls are independent work the MXU pipelines
-    under the chain's latency.
+    Returns a dict of f32 arrays:
+      wcc   [2Q, 128]      one-hot -> [fg_0(g|f) | x_0 | 0] (cur; past taps)
+      wpre0 [128, 128]     ring-row-0 -> layer-0 state-tap + bias
+      ws    [L, 128, 128+S] per-layer fused matmul (see module docstring)
+      gcside [L, B, 2DC]   per-stream per-layer gate bias (only when
+                           gc_ids has >1 entries)
+      bskip/post1/post2/b1/b2: output network.
+
+    When ``gc_ids`` has exactly one entry the speaker bias folds into the
+    shared bias row of ``ws``/``wpre0`` — zero serial cost at B=1.
     """
     R, DC, S = net.residual_channels, net.dilation_channels, net.skip_channels
+    Q = net.quantization_channels
+    if 2 * DC + R + 1 > LANE or DC + 2 * R + 1 > LANE:
+        raise NotImplementedError(
+            f"residual_channels={R}/dilation_channels={DC} too wide for the "
+            f"{LANE}-lane fused layout")
     gc_vecs = None
     if gc_ids is not None and net.gc_channels:
         gc_vecs = jnp.take(params["gc_embedding"], gc_ids, axis=0)  # [B, C]
+    fold_gc = gc_vecs is not None and gc_vecs.shape[0] == 1
 
-    wfcur, wfstate, bfg = [], [], []
-    wdense, bdense, wskip, bskip, wlc = [], [], [], [], []
+    def gf(f_blk, g_blk):
+        # gate columns in [g|f] order with the tanh-identity 1/2 folded
+        # into the g half: sigmoid(b) == (1 + tanh(b/2)) / 2
+        return jnp.concatenate([0.5 * g_blk, f_blk], axis=-1)   # [.., 2DC]
+
+    wfcur, wfstate, bshared, bgc = [], [], [], []
+    wdense, bdense, wskip, wlc = [], [], [], []
     for lp in params["layers"]:
-        f, g = lp["filter"], lp["gate"]  # [2, R, DC]; tap 0 = past/state
-        wfcur.append(jnp.concatenate([f[1], g[1]], axis=1))     # [R, 2DC]
-        wfstate.append(jnp.concatenate([f[0], g[0]], axis=1))   # [R, 2DC]
-        if gc_vecs is not None:
-            b = jnp.concatenate([
-                gc_vecs @ lp["gc_filter"][0], gc_vecs @ lp["gc_gate"][0]],
-                axis=1)                               # [B, 2DC]
-        else:
-            b = jnp.zeros((1, 2 * DC))
+        f, g = lp["filter"], lp["gate"]          # [2, R, DC]; tap 0 = past
+        wfcur.append(gf(f[1], g[1]))             # [R, 2DC] (g|f)
+        wfstate.append(gf(f[0], g[0]))           # [R, 2DC]
+        b = jnp.zeros((1, 2 * DC))
         if net.use_biases:
-            b = b + jnp.concatenate([lp["filter_bias"], lp["gate_bias"]])
-        bfg.append(b)
-        wdense.append(lp["dense"][0])                 # [DC, R]
+            b = b + gf(lp["filter_bias"][None], lp["gate_bias"][None])
+        bg = jnp.zeros((1, 2 * DC))
+        if gc_vecs is not None:
+            bg = gf(gc_vecs @ lp["gc_filter"][0], gc_vecs @ lp["gc_gate"][0])
+        if fold_gc:
+            b, bg = b + bg, jnp.zeros((1, 2 * DC))
+        bshared.append(b)
+        bgc.append(bg)
+        wdense.append(lp["dense"][0])            # [DC, R]
         bdense.append(lp.get("dense_bias", jnp.zeros((R,))))
-        wskip.append(lp["skip"][0])                   # [DC, S]
-        bskip.append(lp.get("skip_bias", jnp.zeros((S,))))
+        wskip.append(lp["skip"][0])              # [DC, S]
         if net.lc_channels:
-            wlc.append(jnp.concatenate(
-                [lp["lc_filter"][0], lp["lc_gate"][0]], axis=1))  # [M, 2DC]
+            wlc.append(gf(lp["lc_filter"][0], lp["lc_gate"][0]))  # [M, 2DC]
 
     L = len(wfcur)
-    # Chain blocks: wgb[i] = Wdense_i @ Wfcur_{i+1} (the only per-layer
-    # matmul on the serial chain). The kernel tracks the residual WITHOUT
-    # its accumulated dense biases (one add per layer saved on the hot
-    # loop, and the rings store the same bias-free values); the cumulative
-    # bias cbd_i = sum_{j<i} bdense_j is constant per layer, so its
-    # current-tap and state-tap gate contributions fold into bchain.
-    wgb = [wdense[i] @ wfcur[i + 1] for i in range(L - 1)]
+    # The residual is tracked WITHOUT its accumulated dense biases (the
+    # rings store the same bias-free values); the cumulative bias
+    # cbd_i = sum_{j<i} bdense_j is constant per layer, so its current-tap
+    # and state-tap gate contributions fold into the shared bias row.
     cbd = [jnp.zeros_like(bdense[0])]
     for i in range(L - 1):
         cbd.append(cbd[-1] + bdense[i])
-    bchain = [bfg[i] + cbd[i][None, :] @ (wfcur[i] + wfstate[i])
+    bchain = [bshared[i] + cbd[i][None, :] @ (wfcur[i] + wfstate[i])
               for i in range(L)]
-    wc = jnp.concatenate([params["causal"][1], params["causal"][0]],
-                         axis=0)                      # [2Q, R]: [cur; past]
+    bskip = [lp.get("skip_bias", jnp.zeros((S,))) for lp in params["layers"]]
 
-    # Per-layer fused output block: one matmul from the gated activation
-    # yields [next-gate chain contribution | residual delta | skip
-    # contribution]. The last layer has no chain/residual consumer.
-    zero_gb = jnp.zeros((DC, 2 * DC))
-    zero_d = jnp.zeros((DC, R))
-    wabc = jnp.stack([
-        jnp.concatenate([
-            wgb[i] if i < L - 1 else zero_gb,
-            wdense[i] if i < L - 1 else zero_d,
-            wskip[i],
-        ], axis=1)
-        for i in range(L)
-    ])                                                # [L, DC, 2DC+R+S]
-    # Per-layer fused pre-activation: [x_i ; s_{i+1}] @ [Wfcur; Wfstate].
-    wpair = jnp.stack([
-        jnp.concatenate([wfcur[i + 1], wfstate[i + 1]], axis=0)
-        for i in range(L - 1)
-    ]) if L > 1 else jnp.zeros((1, 2 * R, 2 * DC))    # [L-1, 2R, 2DC]
-    wfstate0 = wfstate[0]
+    wc = jnp.concatenate([params["causal"][1], params["causal"][0]],
+                         axis=0)                 # [2Q, R]: [cur; past]
+    wcc = jnp.concatenate([
+        wc @ wfcur[0], wc, jnp.zeros((2 * Q, LANE - 2 * DC - R))], axis=1)
+
+    # Wpre0: ring-row-0 layout [.., s_0@2DC:2DC+R, 1@2DC+R] -> fg_0 terms
+    wpre0 = jnp.zeros((LANE, LANE))
+    wpre0 = wpre0.at[2 * DC: 2 * DC + R, : 2 * DC].set(wfstate[0])
+    wpre0 = wpre0.at[2 * DC + R, : 2 * DC].set(bchain[0][0])
+
+    # W_i for i = 1..L: rows follow v = [gated_{i-1}(0:DC) |
+    # x_{i-1}(DC:DC+R) | s_i(DC+R:DC+2R) | 1(DC+2R)]; cols are
+    # [fg_i(g|f, 0:2DC) | x_i(2DC:2DC+R) | 0 | skip_{i-1}(128:)]
+    Ws = []
+    for i in range(1, L + 1):
+        W = jnp.zeros((LANE, LANE + S))
+        W = W.at[:DC, LANE:].set(wskip[i - 1])
+        if i < L:
+            W = W.at[:DC, : 2 * DC].set(wdense[i - 1] @ wfcur[i])
+            W = W.at[:DC, 2 * DC: 2 * DC + R].set(wdense[i - 1])
+            W = W.at[DC: DC + R, : 2 * DC].set(wfcur[i])
+            W = W.at[DC: DC + R, 2 * DC: 2 * DC + R].set(jnp.eye(R))
+            W = W.at[DC + R: DC + 2 * R, : 2 * DC].set(wfstate[i])
+            W = W.at[DC + 2 * R, : 2 * DC].set(bchain[i][0])
+        Ws.append(W)
 
     packed = {
-        # causal folded straight into layer 0's gate: one dependent matmul
-        # takes the input one-hots to [fg_0 | x_0]
-        "wcc": jnp.concatenate([wc @ wfcur[0], wc], axis=1),  # [2Q, 2DC+R]
-        "wfstate0": wfstate0,                        # [R(+M), 2DC]
-        "wpair": wpair,                              # [L-1, 2R(+M), 2DC]
-        "wabc": wabc,                                # [L, DC, 2DC+R+S]
-        # batched path: chain|dense only + one stacked skip matmul at the
-        # end (per-layer skip accumulation beats it at B=1, loses at B>1)
-        "wab": wabc[:, :, : 2 * DC + R],             # [L, DC, 2DC+R]
-        "wskip": jnp.concatenate(wskip, axis=0),     # [L*DC, S]
-        "bchain": jnp.stack(bchain),                 # [L, 1|B, 2DC]
-        "bdense": jnp.stack(bdense)[:, None, :],     # [L, 1, R]
-        "bskip": sum(bskip)[None, :],                # [1, S]
-        "post1": params["post1"][0],                 # [S, S]
-        "post2": params["post2"][0],                 # [S, Q]
+        "wcc": wcc,                              # [2Q, 128]
+        "wpre0": wpre0,                          # [128, 128]
+        "ws": jnp.stack(Ws),                     # [L, 128, 128+S]
+        # batched path: the skip block of ws is DC real rows in a 128-row
+        # store (over 75% zeros) — splitting it keeps the per-layer matmul
+        # at [128, 128] and computes all skips in ONE [B, L*DC] @
+        # [L*DC, S] matmul at step end, saving ~10MB of VMEM
+        "ws_chain": jnp.stack(Ws)[:, :, :LANE],  # [L, 128, 128]
+        "wskip": jnp.concatenate(wskip, axis=0),  # [L*DC, S]
+        "bskip": sum(bskip)[None, :],            # [1, S]
+        "post1": params["post1"][0],             # [S, S]
+        "post2": params["post2"][0],             # [S, Q]
         "b1": (params.get("post1_bias", jnp.zeros((S,))))[None, :],
-        "b2": (params.get("post2_bias",
-                          jnp.zeros((net.quantization_channels,))))[None, :],
+        "b2": (params.get("post2_bias", jnp.zeros((Q,))))[None, :],
     }
+    if gc_vecs is not None and not fold_gc:
+        # per-stream per-layer side constant, widened to the out layout
+        B = gc_vecs.shape[0]
+        packed["gcside"] = jnp.stack(bgc)        # [L, B, 2DC]
     if net.lc_channels:
-        packed["wlcs"] = jnp.stack(wlc)               # [L, M, 2DC]
-
-    # Single-transcendental gate: sigmoid(b) == (1 + tanh(b/2)) / 2, so
-    # pre-halving every gate-half column lets the kernel evaluate ONE tanh
-    # over [filter|gate] instead of tanh + sigmoid on the serial chain.
-    half_gate = jnp.concatenate(
-        [jnp.ones((DC,)), jnp.full((DC,), 0.5)])      # [2DC]
-    packed["wcc"] = packed["wcc"] * jnp.concatenate([half_gate, jnp.ones((R,))])
-    packed["wfstate0"] = packed["wfstate0"] * half_gate
-    packed["wpair"] = packed["wpair"] * half_gate
-    packed["bchain"] = packed["bchain"] * half_gate
-    packed["wabc"] = packed["wabc"] * jnp.concatenate(
-        [half_gate, jnp.ones((R + S,))])
-    packed["wab"] = packed["wab"] * jnp.concatenate(
-        [half_gate, jnp.ones((R,))])
-    if net.lc_channels:
-        packed["wlcs"] = packed["wlcs"] * half_gate
+        packed["wlcs"] = jnp.stack(wlc)          # [L, M, 2DC]
     return jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), packed)
 
 
 def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                  temperature: float, deterministic: bool, use_lc: bool,
-                 dtype=jnp.float32):
-    """Builds the sampling kernel. Local conditioning ships as RAW mel rows
-    ([LANE, B, M] per chunk, ~100x smaller than per-layer projections) and
-    is projected in-kernel by ONE off-chain [B, M] @ [M, L*2DC] matmul per
-    step; per-layer contributions are then static lane slices."""
+                 use_gcside: bool, dtype=jnp.float32):
     L = len(net.dilations)
     dilations = list(net.dilations)
     R, DC, S, Q = (net.residual_channels, net.dilation_channels,
                    net.skip_channels, net.quantization_channels)
-    if LANE % R != 0:
-        raise NotImplementedError(f"residual_channels={R} must divide {LANE}")
-    # B=1 keeps one slot per ring row (fastest serial path); batched runs
-    # pack LANE//R slots per 128-lane row so the rings fit VMEM.
-    pack = 1 if batch == 1 else LANE // R
-    rows_per_layer = [max(1, -(-d // pack)) for d in dilations]
+    rows_per_layer = [max(1, d) for d in dilations]
     row_offsets = np.concatenate([[0], np.cumsum(rows_per_layer)[:-1]]).astype(int)
     total_rows_ring = int(sum(rows_per_layer))
-    ring_lanes = R if pack == 1 else LANE
     inv_temp = 1.0 / max(temperature, 1e-6)
     B = batch
-    M = net.lc_channels if use_lc else 1   # raw mel rows per chunk
-
-    # Skip path: at B=1 per-layer accumulation from the fused wabc matmul
-    # measures faster (it lives in one vreg row); at B>1 gated activations
-    # collect in scratch for ONE [B, L*DC] @ [L*DC, S] matmul at the end.
-    use_sk = B == 1
-    # B=1 latency path additionally precomputes the chunk's Gumbel noise.
+    M = net.lc_channels if use_lc else 1
+    # B=1 latency path pre-draws the chunk's Gumbel noise.
     use_noise = B == 1 and not deterministic
+    # B=1 keeps the skip block fused into the layer matmul (free for
+    # latency); batched runs split it out to keep VMEM under budget —
+    # gated activations collect in a small scratch for ONE
+    # [B, L*DC] @ [L*DC, S] matmul at step end.
+    fuse_skip = B == 1
+    # B=1 affords LANE-wide lc rows (no per-step pad); batched runs store
+    # them narrow ([B, 2DC]) to stay inside VMEM.
+    wide_lc = use_lc and B == 1
+    # ring rows are in the out layout; when R != DC the write is rolled so
+    # the s/1 tail still lands on v's lanes (free when R == DC)
+    ring_shift = (R - DC) % LANE
 
     def kernel(seed_ref, forced_ref, lc_ref,
-               wcc_ref, wfstate0_ref, wpair_ref, wabc_ref,
-               bchain_ref,
+               wcc_ref, wpre0_ref, ws_ref,
                bskip_ref, post1_ref, post2_ref, b1_ref, b2_ref,
                *rest):
         chunk = pl.program_id(0)
         rest = list(rest)
-        wskip_ref = None if use_sk else rest.pop(0)        # extra inputs
+        gcside_ref = rest.pop(0) if use_gcside else None
         wlcs_ref = rest.pop(0) if use_lc else None
+        wskip_ref = rest.pop(0) if not fuse_skip else None
         out_ref, ring_ref, oh_cur_ref, ccprev_ref = rest[:4]
         rest = rest[4:]
         noise_ref = rest.pop(0) if use_noise else None
-        gated_ref = rest.pop(0) if not use_sk else None
         lcproj_ref = rest.pop(0) if use_lc else None
+        gated_ref = rest.pop(0) if not fuse_skip else None
 
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
-        lane_group_iota = lane_iota // R
+        # e_one: the constant-1 marker lane of a ring row (out layout,
+        # position 2DC+R, which is v position DC+2R after ring_shift)
+        e_one = (lane_iota == 2 * DC + R).astype(jnp.float32)
+        xmask = jnp.logical_and(lane_iota >= 2 * DC,
+                                lane_iota < 2 * DC + R).astype(jnp.float32)
+        c1 = jnp.where(lane_iota < DC, 0.5, 0.0)
+        c2 = jnp.where(lane_iota < DC, 0.5, 0.0)
+        xs_mask = jnp.logical_and(lane_iota >= DC, lane_iota < DC + R)
+
+        def roll_if(xv, sh):
+            return xv if sh % LANE == 0 else pltpu.roll(xv, sh % LANE, 1)
 
         @pl.when(chunk == 0)
         def _init():
             if not deterministic:
                 pltpu.prng_seed(seed_ref[0])
-            ring_ref[:] = jnp.zeros_like(ring_ref)
-            # First free-running input: mid-scale silence
-            # (generate_wavenet.py:88); previous input at t=0: zeros (the
-            # reference queues start zeroed, wavenet.py:499-531), so its
-            # causal past-tap contribution is zero too.
+            # rings start zeroed (the reference queues start zeroed,
+            # wavenet.py:499-531) with the constant-1 marker set
+            ring_ref[:] = jnp.zeros_like(ring_ref) + roll_if(e_one,
+                                                              ring_shift)
             oh_cur_ref[:] = (q_iota == Q // 2).astype(dtype)
             ccprev_ref[:] = jnp.zeros_like(ccprev_ref)
 
         if use_lc:
             # Project the whole chunk's mel rows for every layer in one
-            # batched pass (50 [LANE*B, M] @ [M, 2DC] matmuls per 128
-            # samples); the hot loop then does one row read + add per
-            # layer. In-loop per-layer dots measured pathologically slow
-            # (scheduling/pressure), though cheap in isolation.
+            # batched pass (in-loop per-layer dots measure pathologically
+            # slow); rows stay NARROW ([B, 2DC]) so the scratch fits VMEM
+            # at batch 8 — the widening to 128 lanes happens per step as
+            # an off-chain pad. Per-stream gc folds in here when present.
             mel_flat = lc_ref[0].astype(jnp.float32).reshape(LANE * B, M)
             for li in range(L):
                 proj = jnp.dot(mel_flat, wlcs_ref[li],
                                preferred_element_type=jnp.float32)
-                lcproj_ref[li * LANE:(li + 1) * LANE] = proj.reshape(
-                    LANE, B, 2 * DC)
+                proj = proj.reshape(LANE, B, 2 * DC)
+                if use_gcside:
+                    proj = proj + gcside_ref[li][None]
+                if wide_lc:
+                    proj = jnp.pad(proj,
+                                   ((0, 0), (0, 0), (0, LANE - 2 * DC)))
+                lcproj_ref[li * LANE:(li + 1) * LANE] = proj
 
         if noise_ref is not None:
-            # Draw the whole chunk's Gumbel noise in one vectorized pass —
-            # per step it's then a single dynamic-slice row read instead of
-            # two transcendental ops on the sampling path. Temperature is
-            # folded into the noise: argmax(logits/T + g) = argmax(logits
-            # + g*T), saving the per-step logits multiply.
+            # Whole-chunk Gumbel noise with the temperature folded in:
+            # argmax(logits/T + g) == argmax(logits + g*T)
             bits = pltpu.prng_random_bits((LANE, Q))
             u = pltpu.bitcast(
                 pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
@@ -274,51 +287,36 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             noise_ref[:] = -jnp.log(-jnp.log(u)) * (1.0 / inv_temp)
 
         def ring_read(li, t):
-            """State tap x_li(t - d_li); depends on t only, not the chain.
-
-            Rings are addressed with a dynamic slice on the LEADING dim —
-            leading dims are untiled, so this is plain address arithmetic
-            (~10ns), unlike sublane/lane dynamic indexing which lowers
-            pathologically. (Round 1 used iota-mask selects over the whole
-            segment: ~870ns per d=512 layer, the kernel's hidden cost.)
-            """
+            """[B, LANE] row: layer li's state tap x_li(t - d_li) + marker."""
             d = dilations[li]
-            nrow = rows_per_layer[li]
             off = int(row_offsets[li])
-            slot = jax.lax.bitwise_and(t, d - 1)     # d is 2^k
-            if nrow == 1:
-                padded = ring_ref[off]               # [B, ring_lanes]
-            else:
-                padded = ring_ref[pl.ds(off + slot // pack, 1)][0]
-            if pack == 1:
-                return padded
             if d == 1:
-                # only lane-group 0 is ever used when d == 1
-                return padded[:, :R]
-            return jax.lax.switch(
-                slot % pack,
-                [lambda p, k=k: p[:, k * R:(k + 1) * R] for k in range(pack)],
-                padded)
+                return ring_ref[pl.ds(off, 1)][0]
+            slot = jax.lax.bitwise_and(t, d - 1)     # d is 2^k
+            return ring_ref[pl.ds(off + slot, 1)][0]
 
-        def ring_write(li, t, x):
-            """Store x_li(t) in layer li's ring (after its read this step)."""
+        def ring_write(li, t, row):
             d = dilations[li]
-            nrow = rows_per_layer[li]
             off = int(row_offsets[li])
-            slot = jax.lax.bitwise_and(t, d - 1)
-            if pack == 1 or d == 1:
-                new_row = x if pack == 1 else jnp.pad(
-                    x, ((0, 0), (0, LANE - R)))
+            if d == 1:
+                ring_ref[pl.ds(off, 1)] = row[None]
             else:
-                # read-modify-write this slot's lane group within its row
-                row = ring_ref[pl.ds(off + slot // pack, 1)][0]
-                x_tiled = jnp.concatenate([x] * pack, axis=1)
-                new_row = jnp.where(lane_group_iota == slot % pack,
-                                    x_tiled, row)
-            if nrow == 1:
-                ring_ref[off] = new_row
+                slot = jax.lax.bitwise_and(t, d - 1)
+                ring_ref[pl.ds(off + slot, 1)] = row[None]
+
+        def side_add(out, li, i):
+            """Conditioning add: ONE op on the chain (compiled out when
+            absent); the row read and its widening to 128 lanes are
+            off-chain (they depend only on the step index)."""
+            if use_lc:
+                row = lcproj_ref[pl.ds(li * LANE + i, 1)][0]
+                if wide_lc:
+                    return out + row
+            elif use_gcside:
+                row = gcside_ref[li]
             else:
-                ring_ref[pl.ds(off + slot // pack, 1)] = new_row[None]
+                return out
+            return out + jnp.pad(row, ((0, 0), (0, LANE - 2 * DC)))
 
         def step(i, carry):
             # One-hots, the previous input's causal half, and the output
@@ -339,67 +337,55 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             else:
                 cur_onehot = oh_cur
 
-            # --- dilated stack ------------------------------------------
-            # Serial chain: fg_0 via the causal-folded matmul, then per
-            # layer ONE dependent matmul + the gate tanh. Everything else
-            # (residual updates, state taps, ring traffic, skip
-            # accumulation, lc adds) is independent of the newest gated
-            # value, so the MXU/VPU pipeline it under the chain's latency.
+            # --- causal entry: out_0 = cc + pre0 ------------------------
             # current-tap half on the chain; the past-tap half (cc_prev)
             # was computed last step from what is now the previous one-hot
             cc = cc_prev + jnp.dot(cur_onehot, wcc_ref[:Q],
                                    preferred_element_type=jnp.float32)
             cc_next = jnp.dot(cur_onehot, wcc_ref[Q:],
                               preferred_element_type=jnp.float32)  # off-chain
-            x = cc[:, 2 * DC:].astype(dtype)                  # x_0
-            s0 = ring_read(0, t)   # MUST read ring 0 before writing it
-            pre = (jnp.dot(s0, wfstate0_ref[:],
-                           preferred_element_type=jnp.float32)
-                   + bchain_ref[0])
-            if use_lc:
-                pre = pre + lcproj_ref[pl.ds(i, 1)][0]
-            ring_write(0, t, x)
-            fg = cc[:, :2 * DC] + pre
+            r0 = roll_if(ring_read(0, t), -ring_shift)
+            pre0 = jnp.dot(r0, wpre0_ref[:],
+                           preferred_element_type=jnp.float32)     # off-chain
+            # fg: the [B, 128] gate-input row. The lc/gc side rows are
+            # zero on the x lanes, so the ring write and the x extraction
+            # can use the conditioned value unchanged.
+            fg = side_add(cc + pre0, 0, i)
+            ring_write(0, t, roll_if(fg * xmask, ring_shift)
+                       + roll_if(e_one, ring_shift))
             sk = jnp.zeros((B, S), jnp.float32)
-            for li in range(L):
-                # gate halves were pre-scaled by 1/2 in pack_params:
-                # tanh(f) * sigmoid(g) == tanh(f) * (1 + tanh(g/2))/2
+            for li in range(1, L + 1):
+                # --- the serial chain: tanh -> {m || r} -> fma -> matmul
                 th = jnp.tanh(fg)
-                gated = (th[:, :DC]
-                         * (th[:, DC:] * 0.5 + 0.5)).astype(dtype)
-                # one fused matmul: [chain | residual delta | skip contrib]
-                abc = jnp.dot(gated, wabc_ref[li],
-                              preferred_element_type=jnp.float32)
-                if use_sk:
-                    sk = sk + abc[:, 2 * DC + R:]
+                m = th * c1 + c2                  # sigma(g) at lanes 0:DC
+                r = pltpu.roll(th, LANE - DC, 1)  # th_f    to lanes 0:DC
+                if li < L:
+                    ro = pltpu.roll(fg, LANE - DC, 1)
+                    s1 = ring_read(li, t)         # [.., s, 1] tail of v
+                    xs1 = jnp.where(xs_mask, ro, s1)
+                    v = (r * m + xs1).astype(dtype)
                 else:
-                    gated_ref[:, li * DC:(li + 1) * DC] = gated
-                if li + 1 < L:
-                    # off-chain: next layer's input-tap + state-tap terms
-                    s = ring_read(li + 1, t)
-                    pre = (jnp.dot(jnp.concatenate([x, s], axis=1),
-                                   wpair_ref[li],
-                                   preferred_element_type=jnp.float32)
-                           + bchain_ref[li + 1])
-                    if use_lc:
-                        pre = pre + lcproj_ref[
-                            pl.ds((li + 1) * LANE + i, 1)][0]
-                    # the chain: previous gate's folded dense contribution
-                    fg = abc[:, :2 * DC] + pre
-                    # off-chain bias-free residual update (biases folded
-                    # into bchain) feeds ring + later pres
-                    x = (x.astype(jnp.float32)
-                         + abc[:, 2 * DC:2 * DC + R]).astype(dtype)
-                    ring_write(li + 1, t, x)
+                    v = (r * m).astype(dtype)     # flush: gated_{L-1} only
+                if not fuse_skip:
+                    # off-chain: collect gated_{li-1} for the step-end
+                    # stacked skip matmul
+                    gated_ref[:, (li - 1) * DC: li * DC] = v[:, :DC]
+                if fuse_skip or li < L:
+                    out = jnp.dot(v, ws_ref[li - 1],
+                                  preferred_element_type=jnp.float32)
+                if fuse_skip:
+                    sk = sk + out[:, LANE:]       # off-chain accumulation
+                if li < L:
+                    fg = side_add(out[:, :LANE], li, i)
+                    ring_write(li, t, roll_if(fg * xmask, ring_shift)
+                               + roll_if(e_one, ring_shift))
 
-            if use_sk:
-                # skip accumulation finished during the chain
+            if fuse_skip:
                 skips = sk + bskip_ref[:]
             else:
                 skips = jnp.dot(gated_ref[:], wskip_ref[:],
                                 preferred_element_type=jnp.float32
                                 ) + bskip_ref[:]
-
             h = jnp.maximum(skips, 0.0)
             h = jnp.maximum(
                 jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32)
@@ -413,7 +399,7 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                 scores = logits + noise_ref[pl.ds(i, 1)]      # T-scaled noise
             else:
                 bits = pltpu.prng_random_bits((B, Q))
-                # uint32->f32 unsupported in Mosaic; >>8 fits in int32/24 bits
+                # uint32->f32 unsupported in Mosaic; >>8 fits in int32
                 u = pltpu.bitcast(
                     pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
                 ).astype(jnp.float32)
@@ -432,8 +418,7 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                 oh_next = (q_iota == code).astype(dtype)
             else:
                 # scores carry continuous Gumbel noise, so the equality
-                # mask IS the argmax one-hot (ties are measure-zero); this
-                # skips the code->one-hot round trip on the serial path
+                # mask IS the argmax one-hot (ties are measure-zero)
                 oh_next = (scores == best).astype(dtype)
             return (oh_next, cc_next, out_vec)
 
@@ -445,6 +430,8 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
         ccprev_ref[:] = ccprev0
         out_ref[0] = out0
 
+    n_weights = (8 + (1 if use_gcside else 0) + (1 if use_lc else 0)
+                 + (0 if fuse_skip else 1))
     grid_spec = pl.GridSpec(
         grid=(n_chunks,),
         in_specs=[
@@ -454,21 +441,20 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             pl.BlockSpec((1, LANE, B, M), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),                  # lc mel
         ] + [
-            pl.BlockSpec(memory_space=pltpu.VMEM)                   # weights
-            for _ in range((10 if use_sk else 11) + (1 if use_lc else 0))
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)
         ],
         out_specs=pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((total_rows_ring, B, ring_lanes), dtype),  # rings
+            pltpu.VMEM((total_rows_ring, B, LANE), jnp.float32),  # rings
             pltpu.VMEM((B, Q), dtype),                    # current one-hot
-            pltpu.VMEM((B, 2 * DC + R), jnp.float32),     # prev causal half
+            pltpu.VMEM((B, LANE), jnp.float32),           # prev causal half
         ] + ([pltpu.VMEM((LANE, Q), jnp.float32)]        # chunk Gumbel noise
              if use_noise else [])
-          + ([pltpu.VMEM((B, L * DC), dtype)]            # gated (lanes)
-             if not use_sk else [])
-          + ([pltpu.VMEM((L * LANE, B, 2 * DC), jnp.float32)]  # lc chunk
-             if use_lc else []),
+          + ([pltpu.VMEM((L * LANE, B,
+                          LANE if wide_lc else 2 * DC), jnp.float32)]
+             if use_lc else [])
+          + ([] if fuse_skip else [pltpu.VMEM((B, L * DC), dtype)]),
     )
     out_shape = jax.ShapeDtypeStruct((n_chunks, B, LANE), jnp.int32)
     return kernel, grid_spec, out_shape
@@ -487,13 +473,8 @@ class PallasWaveNetGenerator:
         self.net = net
         self.interpret = interpret
         self.dtype = dtype
-        packed = pack_params(net, params, gc_ids)
-        # Weight matrices in compute dtype; biases stay f32 (accumulators).
-        bias_keys = {"bchain", "bdense", "bskip", "b1", "b2"}
-        self.packed = {
-            k: jnp.asarray(v if k in bias_keys else v.astype(dtype))
-            for k, v in packed.items()
-        }
+        self.packed = jax.tree_util.tree_map(jnp.asarray,
+                                             pack_params(net, params, gc_ids))
         self._fns: dict = {}
 
     def _get_fn(self, batch: int, n_chunks: int, prime_len: int,
@@ -502,16 +483,17 @@ class PallasWaveNetGenerator:
         if key not in self._fns:
             kernel, grid_spec, out_shape = _make_kernel(
                 self.net, batch, n_chunks, prime_len, temperature,
-                deterministic, use_lc, dtype=self.dtype)
+                deterministic, use_lc, "gcside" in self.packed,
+                dtype=self.dtype)
             fn = pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=self.interpret,
-                # the per-chunk lc projection scratch can exceed the 16MB
+                # rings + per-layer weights + lc rows can exceed the 16MB
                 # default scoped-vmem budget at larger batches
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=64 * 1024 * 1024),
+                    vmem_limit_bytes=100 * 1024 * 1024),
             )
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
@@ -550,7 +532,7 @@ class PallasWaveNetGenerator:
 
         if use_lc:
             # Raw per-stream mel rows, chunked; the kernel projects them
-            # with one off-chain matmul per step (in-kernel wlc).
+            # with one off-chain matmul per layer per chunk.
             lc = jnp.asarray(lc, jnp.float32)               # [B, T, M]
             if lc.shape[1] < n_chunks * LANE:
                 lc = jnp.pad(
@@ -562,14 +544,17 @@ class PallasWaveNetGenerator:
             lc_mel = jnp.zeros((n_chunks, LANE, batch, 1), jnp.float32)
 
         p = self.packed
-        weight_args = [p["wcc"], p["wfstate0"], p["wpair"],
-                       p["wabc"] if batch == 1 else p["wab"],
-                       p["bchain"],
+        # batch=1 gets the skip block fused into the layer matmul; batched
+        # runs get the chain-only matrices plus the stacked skip matmul
+        weight_args = [p["wcc"], p["wpre0"],
+                       p["ws"] if batch == 1 else p["ws_chain"],
                        p["bskip"], p["post1"], p["post2"], p["b1"], p["b2"]]
-        if batch != 1:
-            weight_args.append(p["wskip"])
+        if "gcside" in p:
+            weight_args.append(p["gcside"])
         if use_lc:
             weight_args.append(p["wlcs"])
+        if batch != 1:
+            weight_args.append(p["wskip"])
         out = fn(jnp.asarray([seed], jnp.int32), forced, lc_mel,
                  *weight_args)
         codes = jnp.transpose(out, (1, 0, 2)).reshape(batch, n_chunks * LANE)

@@ -65,13 +65,12 @@ def test_pack_params_shapes():
     params = net.init(jax.random.PRNGKey(0))
     packed = pack_params(net, params)
     L, R, DC, S, Q = 6, 8, 8, 16, 128
-    assert packed["wcc"].shape == (2 * Q, 2 * DC + R)
-    assert packed["wfstate0"].shape == (R, 2 * DC)
-    assert packed["wpair"].shape == (L - 1, 2 * R, 2 * DC)
-    assert packed["wabc"].shape == (L, DC, 2 * DC + R + S)
-    assert packed["bchain"].shape == (L, 1, 2 * DC)
-    assert packed["bdense"].shape == (L, 1, R)
+    LANE = 128
+    assert packed["wcc"].shape == (2 * Q, LANE)
+    assert packed["wpre0"].shape == (LANE, LANE)
+    assert packed["ws"].shape == (L, LANE, LANE + S)
     assert packed["post2"].shape == (S, Q)
+    assert "gcside" not in packed  # no gc -> shared bias row only
 
 
 def test_pallas_local_conditioning_matches_scan(rng):
@@ -148,4 +147,17 @@ def test_pallas_batched_lc_with_gc_and_priming(rng):
     pallas_out = np.asarray(generate_pallas(
         net, params, n, batch=N, lc=lc, gc_ids=gc, seed_codes=seeds,
         deterministic=True, interpret=True))
+    np.testing.assert_array_equal(scan_out, pallas_out)
+
+
+def test_pallas_unequal_residual_dilation_channels(rng):
+    """R != DC exercises the ring_shift path (ring rows are rolled so the
+    [s, 1] tail still lands on the v lanes)."""
+    net = tiny_net("residual_channels=16")   # DC stays 8 -> ring_shift=8
+    params = net.init(jax.random.PRNGKey(0))
+    scan_out = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1),
+                                       batch=1, temperature=1e-5))
+    pallas_out = np.asarray(generate_pallas(net, params, 20,
+                                            deterministic=True,
+                                            interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
