@@ -89,21 +89,29 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
         pass
 
     key = jax.random.PRNGKey(1)
-    # Warmup: compile + pipeline spin-up. NOTE: the scalar readback
-    # (float()) is the sync point — block_until_ready is not reliable on
-    # relayed backends; and the first post-compile step is ~10x slower, so
-    # take the median of per-step readback times after two warmup steps.
+    # Warmup: compile + pipeline spin-up. The scalar readback (float()) is
+    # the sync point — block_until_ready is not reliable on relayed
+    # backends.
     for i in range(2):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
         float(metrics["loss"])
 
-    times = []
-    for i in range(steps):
+    # Sustained rate: dispatch a CHAIN of steps and sync ONCE at the end,
+    # exactly like a real training loop (which reads metrics every k
+    # steps, not every step). Timing each step individually would charge
+    # every step a full host<->device round trip — ~40ms through this
+    # testbed's relay, independent of batch and length, which is harness
+    # overhead, not framework time.
+    def chain_time(n: int) -> float:
+        nonlocal state
         start = time.perf_counter()
-        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
-        float(metrics["loss"])
-        times.append(time.perf_counter() - start)
-    sec_per_step = sorted(times)[len(times) // 2]
+        for i in range(n):
+            state, m = step_fn(state, batch, jax.random.fold_in(key, i))
+        float(m["loss"])
+        return time.perf_counter() - start
+    # subtract the single dispatch+readback constant via two run lengths
+    short = max(1, steps // 4)
+    sec_per_step = (chain_time(steps) - chain_time(short)) / (steps - short)
 
     n_chips = len(jax.devices())
     mfu = None

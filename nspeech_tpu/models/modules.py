@@ -139,12 +139,8 @@ def cbhg(
     if speaker_embd is not None and "spk_gru" in params:
         h0 = L.dense(params["spk_gru"], speaker_embd, softsign)
 
-    out = L.bidirectional(
-        lambda seq: L.gru_rnn(params["gru_fw"], seq, h0, lengths, gru_units),
-        lambda seq: L.gru_rnn(params["gru_bw"], seq, h0, lengths, gru_units),
-        h,
-        lengths,
-    )
+    out = L.bigru_rnn(params["gru_fw"], params["gru_bw"], h, h0, lengths,
+                      gru_units)
     return out, new_state
 
 
@@ -178,12 +174,8 @@ def conv_and_lstm(params, state, meta, x, lengths, is_training: bool):
         x, ns = L.conv_bn(p, s, x, act, is_training)
         new_conv_s.append(ns)
     units = meta["lstm_units"]
-    out = L.bidirectional(
-        lambda seq: L.lstm_rnn(params["lstm_fw"], seq, lengths, units),
-        lambda seq: L.lstm_rnn(params["lstm_bw"], seq, lengths, units),
-        x,
-        lengths,
-    )
+    out = L.bilstm_rnn(params["lstm_fw"], params["lstm_bw"], x, lengths,
+                       units)
     return out, {"convs": new_conv_s}
 
 

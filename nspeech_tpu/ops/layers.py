@@ -319,3 +319,124 @@ def bidirectional(
     out_b = bwd_fn(reverse_sequence(x, lengths))
     out_b = reverse_sequence(out_b, lengths)
     return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional RNNs
+#
+# Two TPU-specific optimizations over running fwd_fn/bwd_fn separately:
+# (1) the input projection x @ Wx for ALL timesteps is hoisted out of the
+#     scan into one large MXU-efficient matmul, leaving only the
+#     recurrent h @ Wh inside the sequential body; and
+# (2) both directions run in ONE scan at 2x batch (the reversed copy is
+#     stacked on the batch axis) — the scan body is latency-bound, so a
+#     wider step is nearly free while the sequential step count halves.
+# The per-direction recurrent weights are applied with a batched einsum
+# over a leading direction axis (two independent [N, H] @ [H, 4H]).
+# ---------------------------------------------------------------------------
+
+def _stack_directions(x, lengths):
+    """[N, T, C] -> [2N, T, C] with the time-reversed copy in rows N:.
+    reverse_sequence keeps each row's valid steps at the front, so the
+    [N, T] validity mask applies to both halves unchanged."""
+    return jnp.concatenate([x, reverse_sequence(x, lengths)], axis=0)
+
+
+def _unstack_directions(ys, lengths):
+    """[2N, T, H] -> [N, T, 2H]: un-reverse the bwd half, concat features."""
+    n = ys.shape[0] // 2
+    out_b = reverse_sequence(ys[n:], lengths)
+    return jnp.concatenate([ys[:n], out_b], axis=-1)
+
+
+def bilstm_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
+               lengths: Optional[jnp.ndarray], units: int,
+               forget_bias: float = 1.0) -> jnp.ndarray:
+    """Bidirectional LSTM over [N, T, C] -> [N, T, 2*units], one scan."""
+    N, T, C = x.shape
+    x2 = _stack_directions(x, lengths)                       # [2N, T, C]
+    # hoisted input projection, per direction (bias folded in)
+    wx = jnp.stack([params_fw["kernel"][:C], params_bw["kernel"][:C]])
+    wh = jnp.stack([params_fw["kernel"][C:], params_bw["kernel"][C:]])
+    b = jnp.stack([params_fw["bias"], params_bw["bias"]])    # [2, 4H]
+    xz = jnp.einsum("gntc,gcz->gntz", x2.reshape(2, N, T, C), wx,
+                    preferred_element_type=jnp.float32) + b[:, None, None]
+    xz = jnp.moveaxis(xz.reshape(2 * N, T, 4 * units), 1, 0)  # [T, 2N, 4H]
+    mask = _mask_from_lengths(lengths, N, T)
+    mask2 = None if mask is None else jnp.moveaxis(
+        jnp.concatenate([mask, mask], axis=0), 1, 0)          # [T, 2N]
+
+    def step(state, inp):
+        zt, mt = inp
+        c, h = state
+        hz = jnp.einsum("gnh,ghz->gnz", h.reshape(2, N, units), wh,
+                        preferred_element_type=jnp.float32)
+        z = zt + hz.reshape(2 * N, 4 * units)
+        i, g, f, o = jnp.split(z, 4, axis=-1)
+        new_c = (jax.nn.sigmoid(f + forget_bias) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        out = new_h
+        if mt is not None:
+            new_c = jnp.where(mt[:, None], new_c, c)
+            new_h = jnp.where(mt[:, None], new_h, h)
+            out = jnp.where(mt[:, None], out, 0.0)
+        return (new_c, new_h), out
+
+    state0 = (jnp.zeros((2 * N, units), x.dtype),
+              jnp.zeros((2 * N, units), x.dtype))
+    _, ys = jax.lax.scan(step, state0, (xz, mask2))
+    return _unstack_directions(jnp.moveaxis(ys, 0, 1), lengths)
+
+
+def bigru_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
+              h0: Optional[jnp.ndarray], lengths: Optional[jnp.ndarray],
+              units: int) -> jnp.ndarray:
+    """Bidirectional GRU over [N, T, C] -> [N, T, 2*units], one scan.
+    ``h0`` (e.g. a speaker-conditioned initial state) seeds BOTH
+    directions, matching the separate-scan semantics."""
+    N, T, C = x.shape
+    x2 = _stack_directions(x, lengths)
+    gx = jnp.stack([params_fw["gate_kernel"][:C], params_bw["gate_kernel"][:C]])
+    gh = jnp.stack([params_fw["gate_kernel"][C:], params_bw["gate_kernel"][C:]])
+    gb = jnp.stack([params_fw["gate_bias"], params_bw["gate_bias"]])
+    cx = jnp.stack([params_fw["cand_kernel"][:C], params_bw["cand_kernel"][:C]])
+    ch = jnp.stack([params_fw["cand_kernel"][C:], params_bw["cand_kernel"][C:]])
+    cb = jnp.stack([params_fw["cand_bias"], params_bw["cand_bias"]])
+    x4 = x2.reshape(2, N, T, C)
+    xg = (jnp.einsum("gntc,gcz->gntz", x4, gx,
+                     preferred_element_type=jnp.float32)
+          + gb[:, None, None]).reshape(2 * N, T, 2 * units)
+    xc = (jnp.einsum("gntc,gcz->gntz", x4, cx,
+                     preferred_element_type=jnp.float32)
+          + cb[:, None, None]).reshape(2 * N, T, units)
+    xg = jnp.moveaxis(xg, 1, 0)
+    xc = jnp.moveaxis(xc, 1, 0)
+    mask = _mask_from_lengths(lengths, N, T)
+    mask2 = None if mask is None else jnp.moveaxis(
+        jnp.concatenate([mask, mask], axis=0), 1, 0)
+
+    def step(h, inp):
+        xgt, xct, mt = inp
+        gates = jax.nn.sigmoid(
+            xgt + jnp.einsum("gnh,ghz->gnz", h.reshape(2, N, units), gh,
+                             preferred_element_type=jnp.float32
+                             ).reshape(2 * N, 2 * units))
+        r, u = jnp.split(gates, 2, axis=-1)
+        c = jnp.tanh(
+            xct + jnp.einsum("gnh,ghz->gnz", (r * h).reshape(2, N, units),
+                             ch, preferred_element_type=jnp.float32
+                             ).reshape(2 * N, units))
+        new_h = u * h + (1.0 - u) * c
+        out = new_h
+        if mt is not None:
+            new_h = jnp.where(mt[:, None], new_h, h)
+            out = jnp.where(mt[:, None], out, 0.0)
+        return new_h, out
+
+    if h0 is None:
+        h0_2 = jnp.zeros((2 * N, units), x.dtype)
+    else:
+        h0_2 = jnp.concatenate([h0, h0], axis=0)
+    _, ys = jax.lax.scan(step, h0_2, (xg, xc, mask2))
+    return _unstack_directions(jnp.moveaxis(ys, 0, 1), lengths)
