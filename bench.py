@@ -120,6 +120,48 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
     return batch_size * t_out / sec_per_step / n_chips, sec_per_step, mfu
 
 
+def bench_wavenet_train(batch_size: int = 4, sample_size: int = 20480,
+                        steps: int = 8, precision: str = "bfloat16"):
+    """Sustained WaveNet training rate in audio samples/sec/chip (chained
+    dispatch, same methodology as the Tacotron bench)."""
+    jax.config.update("jax_default_matmul_precision", precision)
+    import nspeech_tpu.config as config
+    from nspeech_tpu.data.wavenet_feeder import WaveNetBatch
+    from nspeech_tpu.models.wavenet import WaveNet
+    from nspeech_tpu.train import create_state, make_optimizer
+    from nspeech_tpu.train.loop import build_wavenet_train_step
+
+    cfg = config.load_config("wavenet")
+    net = WaveNet(cfg)
+    tx, schedule = make_optimizer(cfg, "wavenet")
+    step_fn = build_wavenet_train_step(net, tx, cfg, schedule=schedule)
+    state = create_state(net, tx, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    T = net.receptive_field + sample_size
+    batch = WaveNetBatch(
+        audio=jnp.asarray(rng.random((batch_size, T), np.float32) * 2 - 1),
+        speaker_ids=jnp.zeros((batch_size,), jnp.int32),
+        mel=jnp.zeros((batch_size, T, cfg.num_mels), jnp.float32),
+    )
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):
+        state, m = step_fn(state, batch, key)
+        float(m["loss"])
+
+    def chain_time(n):
+        nonlocal state
+        start = time.perf_counter()
+        for _ in range(n):
+            state, m = step_fn(state, batch, key)
+        float(m["loss"])
+        return time.perf_counter() - start
+
+    short = max(1, steps // 4)
+    sec_per_step = (chain_time(steps) - chain_time(short)) / (steps - short)
+    return batch_size * sample_size / sec_per_step / len(jax.devices())
+
+
 def bench_wavenet_generate(batch: int = 1):
     """Pallas VMEM-resident sampler (full 50-layer default config).
 
@@ -198,6 +240,10 @@ def main() -> None:
           "samples/sec/chip", round(rtf8 / 5.0, 4), "float32")
 
     if args.all:
+        rate_tr = bench_wavenet_train(precision=args.precision)
+        _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
+              "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
+              args.precision)
         from nspeech_tpu.serving.pipeline import WaveNetVocoder
         import nspeech_tpu.config as config
 
@@ -207,13 +253,23 @@ def main() -> None:
 
         net = WaveNet(cfg)
         voc = WaveNetVocoder(cfg).set_variables(net, net.init(jax.random.PRNGKey(0)))
-        frames = 160  # 2 s at 12.5 ms hop
-        mel = np.random.default_rng(0).random((frames, cfg.num_mels)).astype(np.float32)
-        voc.vocode(mel)  # compile
-        start = time.perf_counter()
-        wav = voc.vocode(mel)
-        dt = time.perf_counter() - start
-        rate_lc = len(wav) / dt
+        rng = np.random.default_rng(0)
+
+        # Sustained rate by slope over two mel lengths (the relay's fixed
+        # dispatch + mel transfer cost would otherwise dominate).
+        def voc_time(frames: int) -> float:
+            mel = rng.random((frames, cfg.num_mels)).astype(np.float32)
+            voc.vocode(mel)  # compile
+            best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                wav = voc.vocode(mel)
+                best = min(best, time.perf_counter() - start)
+            return best, len(wav)
+
+        t_small, n_small = voc_time(32)
+        t_large, n_large = voc_time(160)   # 2 s at 12.5 ms hop
+        rate_lc = (n_large - n_small) / (t_large - t_small)
         _emit("wavenet_vocoder_lc_samples_per_sec", round(rate_lc, 1),
               "samples/sec", round(rate_lc / cfg.sample_rate / 5.0, 4),
               "float32")

@@ -10,15 +10,34 @@ replacing Griffin-Lim as the vocoder.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nspeech_tpu.config import Config, stft_params
 from nspeech_tpu import dsp
-from nspeech_tpu.data.wavenet_feeder import upsample_frames
 from nspeech_tpu.serving.synthesizer import Synthesizer
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _upsample_on_device(mels: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
+    """[N, T_frames, M] -> [N, length, M] on device; matches
+    data.wavenet_feeder.upsample_frames (np.interp: anchors at t*hop,
+    linear between, edge values held). Shipping the FRAME-rate mel and
+    upsampling on device keeps the host->device transfer ~hop times
+    smaller — the upsampled array is ~2.5KB/sample/stream, which would
+    dominate wall-clock on a thin link."""
+    t_frames = mels.shape[1]
+    pos = jnp.arange(length) / hop
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_frames - 1)
+    i1 = jnp.clip(i0 + 1, 0, t_frames - 1)
+    w = (pos - i0.astype(jnp.float32))[None, :, None]
+    return (jnp.take(mels, i0, axis=1) * (1.0 - w)
+            + jnp.take(mels, i1, axis=1) * w)
 
 
 class WaveNetVocoder:
@@ -79,11 +98,9 @@ class WaveNetVocoder:
         mels = np.asarray(mels)
         n = mels.shape[0]
         n_samples = mels.shape[1] * self._hop
-        # device-resident: host->device streaming of the upsampled mels
-        # would otherwise dominate (~2.5KB/sample/stream)
-        lc = jax.device_put(np.stack([
-            np.asarray(upsample_frames(m, self._hop, n_samples))
-            for m in mels]))                             # [N, T*hop, M]
+        # ship the small frame-rate mel; upsample to sample rate ON device
+        lc = _upsample_on_device(jnp.asarray(mels, jnp.float32),
+                                 self._hop, n_samples)   # [N, T*hop, M]
         gc_ids = None
         if speaker_ids is not None and self.net.gc_channels:
             gc_ids = np.asarray(speaker_ids, np.int32)

@@ -2,6 +2,8 @@
 mel-conditioned WaveNet vocoder (BASELINE config #4)."""
 
 import jax
+import pytest
+import jax.numpy as jnp
 import numpy as np
 
 from nspeech_tpu.config import load_config
@@ -78,3 +80,18 @@ def test_batch_text_to_waveform_via_wavenet():
     for w in wavs:
         assert 0 < w.shape[0] <= mels.shape[1] * hop
         assert np.isfinite(w).all() and np.abs(w).max() <= 1.0
+
+
+@pytest.mark.smoke
+def test_device_upsample_matches_host(rng):
+    """The on-device mel upsampler must match the host np.interp version
+    used by the training feeder."""
+    from nspeech_tpu.data.wavenet_feeder import upsample_frames
+    from nspeech_tpu.serving.pipeline import _upsample_on_device
+
+    frames = rng.random((7, 5)).astype(np.float32)
+    hop, length = 4, 7 * 4
+    host = upsample_frames(frames, hop, length)
+    dev = np.asarray(_upsample_on_device(jnp.asarray(frames[None]),
+                                         hop, length))[0]
+    np.testing.assert_allclose(host, dev, rtol=1e-6, atol=1e-6)
