@@ -111,6 +111,7 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
         return time.perf_counter() - start
     # subtract the single dispatch+readback constant via two run lengths
     short = max(1, steps // 4)
+    steps = max(steps, short + 1)
     sec_per_step = (chain_time(steps) - chain_time(short)) / (steps - short)
 
     n_chips = len(jax.devices())
@@ -158,6 +159,7 @@ def bench_wavenet_train(batch_size: int = 4, sample_size: int = 20480,
         return time.perf_counter() - start
 
     short = max(1, steps // 4)
+    steps = max(steps, short + 1)
     sec_per_step = (chain_time(steps) - chain_time(short)) / (steps - short)
     return batch_size * sample_size / sec_per_step / len(jax.devices())
 
@@ -231,13 +233,15 @@ def main() -> None:
           args.precision)
 
     # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
-    # are MXU-latency-bound; bf16 measured no faster).
-    rate, rtf = bench_wavenet_generate(batch=1)
-    _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),
-          "samples/sec", round(rtf / 5.0, 4), "float32")
-    rate8, rtf8 = bench_wavenet_generate(batch=8)
-    _emit("wavenet_pallas_batch8_samples_per_sec_per_chip", round(rate8, 1),
-          "samples/sec/chip", round(rtf8 / 5.0, 4), "float32")
+    # are MXU-latency-bound; bf16 measured no faster). The TPU kernel does
+    # not lower on CPU-only hosts — skip rather than crash mid-run there.
+    if jax.default_backend() not in ("cpu",):
+        rate, rtf = bench_wavenet_generate(batch=1)
+        _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),
+              "samples/sec", round(rtf / 5.0, 4), "float32")
+        rate8, rtf8 = bench_wavenet_generate(batch=8)
+        _emit("wavenet_pallas_batch8_samples_per_sec_per_chip", round(rate8, 1),
+              "samples/sec/chip", round(rtf8 / 5.0, 4), "float32")
 
     if args.all:
         rate_tr = bench_wavenet_train(precision=args.precision)

@@ -158,10 +158,13 @@ def make_app(synthesizer, cfg):
                 return [b"texts must be a non-empty list of non-empty strings"]
             if speaker_ids is not None and (
                     not isinstance(speaker_ids, list)
-                    or len(speaker_ids) != len(texts)):
+                    or len(speaker_ids) != len(texts)
+                    or not all(isinstance(s, int) and not isinstance(s, bool)
+                               for s in speaker_ids)):
                 start_response("400 Bad Request",
                                [("Content-Type", "text/plain")])
-                return [b"speaker_ids must match texts in length"]
+                return [b"speaker_ids must be a list of integers "
+                        b"matching texts in length"]
             if hasattr(synthesizer, "synthesize_batch"):
                 wavs, _, _ = synthesizer.synthesize_batch(texts, speaker_ids)
             else:

@@ -45,6 +45,18 @@ def _cache_path(cache_dir: str, wav_path: str, cfg: Config) -> str:
     return os.path.join(cache_dir, digest + ".npz")
 
 
+def _host_cpu_device():
+    """Host CPU device for input-pipeline featurization, or None when the
+    process was configured without a cpu backend (e.g. --platform tpu /
+    JAX_PLATFORMS=tpu) — then featurization runs on the default device."""
+    import jax
+
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def process_utterance(
     wav_path: str,
     cfg: Config,
@@ -70,7 +82,7 @@ def process_utterance(
     # setups) stalls first batches for minutes compiling per-bucket STFT
     # programs through the relay. The fused jnp featurizer still runs
     # compiled — just on the CPU client.
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with jax.default_device(_host_cpu_device()):
         linear, mel = dsp.spectrograms(wav, cfg)
         linear = np.asarray(linear)
         mel = np.asarray(mel)

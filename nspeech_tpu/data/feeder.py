@@ -166,6 +166,10 @@ class DataFeeder:
         rng = np.random.default_rng((self._seed, epoch))
         order = rng.permutation(len(self._items))
         n = cfg.batch_size
+        if len(order) == 0:
+            raise RuntimeError(
+                "DataFeeder shard has no items (empty corpus path or more "
+                "hosts than utterances) — nothing to batch")
         if len(order) < n:
             # Tiny corpus/shard: wrap around so a full batch still forms
             # (the reference's feeder cycles its cursor and never starves,

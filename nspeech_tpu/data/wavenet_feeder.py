@@ -91,7 +91,9 @@ class WaveNetFeeder:
         # Per-utterance mel at per-sample resolution (computed once) —
         # input-pipeline work, pinned to the host CPU backend (see
         # data/features.py note).
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        from nspeech_tpu.data.features import _host_cpu_device
+
+        with jax.default_device(_host_cpu_device()):
             _, mel = dsp.spectrograms(wav, self._cfg)
         mel_samples = upsample_frames(np.asarray(mel), self._hop, len(wav))
         offset = 0

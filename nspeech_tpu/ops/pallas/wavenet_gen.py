@@ -414,12 +414,12 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             code = jnp.min(jnp.where(scores == best, q_iota, Q), axis=1,
                            keepdims=True)                        # [B, 1]
             out_vec = jnp.where(lane_iota == i, code, out_vec)
-            if deterministic:
-                oh_next = (q_iota == code).astype(dtype)
-            else:
-                # scores carry continuous Gumbel noise, so the equality
-                # mask IS the argmax one-hot (ties are measure-zero)
-                oh_next = (scores == best).astype(dtype)
+            # derive the next input one-hot from the SAME min-index
+            # tie-break as the emitted code: the Gumbel noise is quantized
+            # to 24-bit steps, so (scores == best) can be multi-hot on an
+            # exact float tie, which would feed the sum of two code
+            # embeddings into the causal matmul
+            oh_next = (q_iota == code).astype(dtype)
             return (oh_next, cc_next, out_vec)
 
         oh_cur0, ccprev0, out0 = jax.lax.fori_loop(

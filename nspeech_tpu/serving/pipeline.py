@@ -171,9 +171,21 @@ class TextToSpeech:
         # after), so all streams share one fixed-shape kernel call.
         frames = [max(int(np.ceil(len(w) / hop)), 1) for w in wavs_gl]
         t_max = max(frames)
+        # Match the single-utterance path: -1/None means UNCONDITIONED
+        # (synthesize() passes gc_ids=None), never an implicit speaker 0.
+        # One batched chain packs one gc table, so conditioned and
+        # unconditioned streams cannot mix.
         gc = None
         if speaker_ids is not None:
-            gc = [s if s is not None and s >= 0 else 0 for s in speaker_ids]
+            missing = [s is None or s < 0 for s in speaker_ids]
+            if all(missing):
+                gc = None
+            elif any(missing):
+                raise ValueError(
+                    "synthesize_batch: cannot mix explicit speaker_ids and "
+                    "-1/None (unconditioned) in one vocoder batch")
+            else:
+                gc = list(speaker_ids)
         batch_wavs = self.vocoder.vocode_batch(
             mels[:, :t_max], gc, temperature=temperature)
         out = []

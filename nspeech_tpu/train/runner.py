@@ -33,21 +33,6 @@ def pick_mesh(batch_size: int):
     return None
 
 
-def _call_artifact_fn(fn, state, step, writer) -> None:
-    """Pass the metric writer to artifact fns that accept it (so dumps can
-    emit TB audio/output summaries); older 2-arg fns still work."""
-    import inspect
-
-    try:
-        n_params = len(inspect.signature(fn).parameters)
-    except (TypeError, ValueError):
-        n_params = 2
-    if n_params >= 3:
-        fn(state, step, writer)
-    else:
-        fn(state, step)
-
-
 def run_training(
     log_dir: str,
     state: TrainState,
@@ -64,7 +49,7 @@ def run_training(
 ) -> TrainState:
     """Run the training loop until max_steps (or forever).
 
-    artifact_fn(state, step) is called at every checkpoint interval for
+    artifact_fn(state, step, writer) is called at every checkpoint interval for
     audio/plot dumps. On a loss explosion (>100 or NaN) the run
     auto-restores from the last good checkpoint up to ``max_recoveries``
     times (the reference documented this as a manual restart procedure,
@@ -127,7 +112,7 @@ def run_training(
                 ckpt.save(step, state)
                 if artifact_fn is not None:
                     try:
-                        _call_artifact_fn(artifact_fn, state, step, writer)
+                        artifact_fn(state, step, writer)
                     except Exception as e:  # artifacts must not kill training
                         log("Artifact dump failed: %s" % e)
 
