@@ -244,11 +244,168 @@ def melspectrogram(y, cfg: Config) -> jnp.ndarray:
 # Griffin-Lim inversion (reference: audio.py:45-58,77-103)
 # -----------------------------------------------------------------------------
 
+# -- TPU fast path: matmul real-DFT + collision-free overlap-add -----------
+#
+# XLA's TPU FFT lowering and the colliding scatter-add overlap-add in
+# :func:`istft` are serial and slow; 60 Griffin-Lim iterations through them
+# cost seconds per utterance. On TPU the DFT is instead expressed as two
+# MXU matmuls against precomputed cos/sin bases (real arithmetic only; no
+# complex64), and overlap-add exploits that frames >= ceil(n_fft/hop)
+# apart never overlap, so the scatter becomes ceil(n_fft/hop) dense
+# shifted adds. The CPU path keeps np.fft-based :func:`stft`/:func:`istft`
+# (faster there, and the featurizer/golden contract is untouched).
+
+@functools.lru_cache(maxsize=None)
+def _rdft_bases(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(forward [n_fft, 2K], inverse [2K, n_fft]) real-DFT bases, K bins.
+
+    forward: [re | im] = (frame @ fwd) matches np.fft.rfft;
+    inverse: frame = [re | im] @ inv matches np.fft.irfft.
+    """
+    K = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(K, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    C, S = np.cos(ang), -np.sin(ang)
+    fwd = np.concatenate([C, S], axis=1).astype(np.float32)
+    w = np.full(K, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    inv = np.concatenate([(C * w / n_fft).T, (S * w / n_fft).T],
+                         axis=0).astype(np.float32)
+    return fwd, inv
+
+
+def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """[F, n_fft] frames -> [n_fft + hop*(F-1)] via dense shifted adds."""
+    F, n_fft = frames.shape
+    J = -(-n_fft // hop_length)      # frames J apart never overlap
+    total = n_fft + hop_length * (F - 1)
+    slack = total + J * hop_length
+    y = jnp.zeros((slack,), frames.dtype)
+    for j in range(J):
+        sub = frames[j::J]
+        if sub.shape[0] == 0:
+            continue
+        sub = jnp.pad(sub, ((0, 0), (0, J * hop_length - n_fft)))
+        flat = sub.reshape(-1)
+        flat = jnp.pad(flat, (j * hop_length,
+                              slack - j * hop_length - flat.shape[0]))
+        y = y + flat
+    return y[:total]
+
+
+@functools.lru_cache(maxsize=None)
+def _wss_np(n_fft: int, hop_length: int, win_length: int,
+            n_frames: int) -> np.ndarray:
+    """Squared-window overlap-add normalizer (constant per config)."""
+    w2 = _padded_window(n_fft, win_length).astype(np.float64) ** 2
+    total = n_fft + hop_length * (n_frames - 1)
+    wss = np.zeros(total)
+    for i in range(n_frames):
+        wss[i * hop_length: i * hop_length + n_fft] += w2
+    return np.maximum(wss, 1e-10).astype(np.float32)
+
+
+def _rdft_bases_traced(n_fft: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same bases as :func:`_rdft_bases`, built from iota INSIDE the trace
+    so the jitted program carries a few cheap ops instead of ~33MB of
+    inline f32 literals (which inflate XLA compile time)."""
+    K = n_fft // 2 + 1
+    n = jnp.arange(n_fft, dtype=jnp.float32)[:, None]
+    k = jnp.arange(K, dtype=jnp.float32)[None, :]
+    ang = (2.0 * jnp.pi / n_fft) * n * k
+    C, Sn = jnp.cos(ang), -jnp.sin(ang)
+    fwd = jnp.concatenate([C, Sn], axis=1)              # [n_fft, 2K]
+    w = jnp.full((K,), 2.0).at[0].set(1.0)
+    if n_fft % 2 == 0:
+        w = w.at[-1].set(1.0)
+    inv = jnp.concatenate([(C * w / n_fft).T, (Sn * w / n_fft).T], axis=0)
+    return fwd, inv
+
+
+def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
+                        win_length: int, iters: int) -> jnp.ndarray:
+    """Griffin-Lim on the matmul-DFT path; S is the |amplitude| [T, K].
+
+    All per-iteration data is kept in RESIDUE-GROUPED frame order (frames
+    j, j+J, j+2J, ... contiguous, J = ceil(n_fft/hop)): frames that far
+    apart never overlap, so both framing and overlap-add are dense
+    slice/reshape/add chains — no gathers anywhere in the hot loop.
+    """
+    fwd, inv = _rdft_bases_traced(n_fft)
+    window = jnp.asarray(_padded_window(n_fft, win_length))
+    n_frames, K = S.shape
+    wss = jnp.asarray(_wss_np(n_fft, hop_length, win_length, n_frames))
+    # Precision.DEFAULT: single-pass MXU matmuls; Griffin-Lim phase
+    # estimation is itself approximate, and reconstruction quality is
+    # unchanged at bf16 matmul precision (spectral-peak test).
+    P = jax.lax.Precision.DEFAULT
+    pad = n_fft // 2
+    J = -(-n_fft // hop_length)
+    group_sizes = [len(range(j, n_frames, J)) for j in range(J)]
+    offsets = np.concatenate([[0], np.cumsum(group_sizes)[:-1]]).astype(int)
+    total = n_fft + hop_length * (n_frames - 1)    # padded signal length
+    span = J * hop_length                          # per-frame stride slot
+
+    # magnitude rows regrouped ONCE, outside the loop
+    S_g = jnp.concatenate([S[j::J] for j in range(J)], axis=0)
+
+    def to_wav(re_g, im_g):
+        """grouped (re, im) -> padded-signal waveform (center pad kept)."""
+        frames_t = jnp.dot(jnp.concatenate([re_g, im_g], axis=1), inv,
+                           precision=P) * window[None, :]
+        y = jnp.zeros((total + span,), frames_t.dtype)
+        for j in range(J):
+            fj = group_sizes[j]
+            if fj == 0:
+                continue
+            sub = frames_t[int(offsets[j]): int(offsets[j]) + fj]
+            flat = jnp.pad(sub, ((0, 0), (0, span - n_fft))).reshape(-1)
+            flat = jnp.pad(flat, (j * hop_length,
+                                  y.shape[0] - j * hop_length - flat.size))
+            y = y + flat
+        return y[:total] / wss
+
+    def from_wav(y):
+        """padded-signal waveform -> grouped (re, im).
+
+        The loop iterates on the PADDED domain: edge frames see the
+        overlap-add reconstruction of the center-pad region rather than a
+        fresh reflection (the fft path trims + re-reflects each
+        iteration). The deviation touches only the n_fft//2 boundary
+        samples and is inaudible; it buys a gather-free loop."""
+        yp = jnp.pad(y, (0, span * (max(group_sizes) + 1)))
+        groups = []
+        for j in range(J):
+            fj = group_sizes[j]
+            if fj == 0:
+                continue
+            region = jax.lax.dynamic_slice(yp, (j * hop_length,),
+                                           (fj * span,))
+            groups.append(region.reshape(fj, span)[:, :n_fft])
+        frames = jnp.concatenate(groups, axis=0) * window[None, :]
+        ri = jnp.dot(frames, fwd, precision=P)
+        return ri[:, :K], ri[:, K:]
+
+    theta = 2.0 * jnp.pi * jax.random.uniform(key, S_g.shape)
+    y = to_wav(S_g * jnp.cos(theta), S_g * jnp.sin(theta))
+
+    def body(_, y):
+        re, im = from_wav(y)
+        mag = jnp.maximum(1e-8, jnp.sqrt(re * re + im * im))
+        return to_wav(S_g * re / mag, S_g * im / mag)
+
+    y = jax.lax.fori_loop(0, iters, body, y)
+    return y[pad: total - pad].astype(jnp.float32)   # == istft() trimming
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "win_length", "iters",
-        "ref_level_db", "min_level_db", "power",
+        "ref_level_db", "min_level_db", "power", "matmul_dft",
     ),
 )
 def _griffin_lim(
@@ -262,6 +419,7 @@ def _griffin_lim(
     ref_level_db: float,
     min_level_db: float,
     power: float,
+    matmul_dft: bool | None = None,
 ) -> jnp.ndarray:
     """Normalized linear spectrogram [T, F] -> waveform via Griffin-Lim.
 
@@ -271,6 +429,12 @@ def _griffin_lim(
     """
     S = db_to_amp(denormalize(S_norm, -abs(min_level_db)) + ref_level_db)
     S = jnp.power(S, power)
+
+    if matmul_dft is None:
+        matmul_dft = jax.default_backend() not in ("cpu",)
+    if matmul_dft:
+        return _griffin_lim_matmul(S, key, n_fft, hop_length, win_length,
+                                   iters)
 
     angles = jnp.exp(2j * jnp.pi * jax.random.uniform(key, S.shape))
     S_complex = S.astype(jnp.complex64)

@@ -4,6 +4,8 @@ independent numpy oracle implementing the librosa conventions step by step
 property tests (tone peak bins, round trips, Griffin-Lim reconstruction).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -238,3 +240,54 @@ def test_find_endpoint():
     wav = np.concatenate([tone, np.zeros(sr * 2, dtype=np.float32)])
     end = dsp.find_endpoint(wav, CFG)
     assert len(tone) * 0.5 < end < len(tone) + sr
+
+
+# ---------------------------------------------------------------------------
+# Matmul-DFT Griffin-Lim fast path (TPU serving; FFT stays on CPU)
+# ---------------------------------------------------------------------------
+
+def test_rdft_bases_match_numpy_fft(rng):
+    from nspeech_tpu.dsp.audio import _rdft_bases
+
+    n_fft = 256
+    fwd, inv = _rdft_bases(n_fft)
+    x = rng.standard_normal((5, n_fft)).astype(np.float32)
+    ri = x @ fwd
+    K = n_fft // 2 + 1
+    ref = np.fft.rfft(x, axis=-1)
+    np.testing.assert_allclose(ri[:, :K], ref.real, atol=1e-3)
+    np.testing.assert_allclose(ri[:, K:], ref.imag, atol=1e-3)
+    # inverse round-trips
+    back = ri @ inv
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_overlap_add_matches_scatter(rng):
+    from nspeech_tpu.dsp.audio import _overlap_add
+
+    F, n_fft, hop = 11, 64, 9      # non-divisible hop exercises residues
+    frames = rng.standard_normal((F, n_fft)).astype(np.float32)
+    ours = np.asarray(_overlap_add(jnp.asarray(frames), hop))
+    ref = np.zeros(n_fft + hop * (F - 1), np.float32)
+    for i in range(F):
+        ref[i * hop: i * hop + n_fft] += frames[i]
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_griffin_lim_matmul_reconstructs_tone():
+    from nspeech_tpu.config import stft_params
+    from nspeech_tpu.dsp.audio import _griffin_lim
+
+    cfg = CFG.replace(griffin_lim_iters=30)
+    y = make_tone(440.0, cfg.sample_rate, seconds=0.4)
+    lin, _ = dsp.spectrograms(y, cfg)
+    n_fft, hop, win = stft_params(cfg)
+    wav = np.asarray(_griffin_lim(
+        jnp.asarray(lin, jnp.float32), jax.random.PRNGKey(0),
+        n_fft=n_fft, hop_length=hop, win_length=win,
+        iters=cfg.griffin_lim_iters, ref_level_db=cfg.ref_level_db,
+        min_level_db=cfg.min_level_db, power=cfg.power, matmul_dft=True))
+    wav = np.asarray(dsp.inv_preemphasis(wav, cfg.preemphasis))
+    spec = np.abs(np.fft.rfft(wav * np.hanning(len(wav))))
+    peak_freq = np.argmax(spec) * cfg.sample_rate / len(wav)
+    assert abs(peak_freq - 440.0) < 15.0
