@@ -59,29 +59,46 @@ def scan_autoregressive(
     r: int,
     max_iters: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Autoregressive decode for ``max_iters`` steps (fixed shape).
+    """Autoregressive decode with early stop (fixed output shapes).
 
-    Returns (outputs [S, N, r*M], alignments [S, N, T_in], lengths [N]) where
-    lengths counts decoder steps until the zero-frame stop token (or
-    max_iters). Outputs after the stop are still emitted, matching
-    dynamic_decode with impute_finished=False.
+    Returns (outputs [S, N, r*M], alignments [S, N, T_in], lengths [N])
+    where lengths counts decoder steps until the zero-frame stop token (or
+    max_iters). A ``lax.while_loop`` writes into preallocated
+    [max_iters, ...] buffers and terminates once every row has emitted the
+    stop token, so a short utterance pays for its own steps, not for
+    max_iters — output shapes stay static for jit. Frames past the stop
+    stay zero, matching the reference's dynamic_decode, which finishes
+    stopped rows and zero-pads (helpers.py:32-38); the previous
+    run-to-max_iters scan emitted free-running frames there instead.
     """
     x0 = jnp.zeros((batch, num_mels))          # GO frame
-    finished0 = jnp.zeros((batch,), bool)
-    steps0 = jnp.full((batch,), max_iters, jnp.int32)
 
-    def body(state, t):
-        carry, x, finished, steps = state
+    # one eager step determines the per-step output shapes (and fills t=0)
+    carry1, (out0, align0) = step(carry0, x0, None)
+    outs0 = jnp.zeros((max_iters,) + out0.shape, out0.dtype).at[0].set(out0)
+    aligns0 = jnp.zeros((max_iters,) + align0.shape,
+                        align0.dtype).at[0].set(align0)
+    finished0 = jnp.all(out0 == 0.0, axis=-1)
+    steps0 = jnp.where(finished0, 1, max_iters).astype(jnp.int32)
+
+    def cond(state):
+        t, _, _, finished, _, _, _ = state
+        return (t < max_iters) & ~jnp.all(finished)
+
+    def body(state):
+        t, carry, x, finished, steps, outs, aligns = state
         carry, (out, align) = step(carry, x, None)
+        outs = jax.lax.dynamic_update_index_in_dim(outs, out, t, 0)
+        aligns = jax.lax.dynamic_update_index_in_dim(aligns, align, t, 0)
         now_finished = jnp.all(out == 0.0, axis=-1)
         steps = jnp.where(~finished & now_finished, t + 1, steps)
         finished = finished | now_finished
-        next_x = out[:, -num_mels:]
-        return (carry, next_x, finished, steps), (out, align)
+        return (t + 1, carry, out[:, -num_mels:], finished, steps,
+                outs, aligns)
 
-    (_, _, _, steps), (outs, aligns) = jax.lax.scan(
-        body, (carry0, x0, finished0, steps0), jnp.arange(max_iters)
-    )
+    state = (jnp.asarray(1), carry1, out0[:, -num_mels:], finished0,
+             steps0, outs0, aligns0)
+    _, _, _, _, steps, outs, aligns = jax.lax.while_loop(cond, body, state)
     return outs, aligns, steps
 
 

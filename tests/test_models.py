@@ -286,3 +286,30 @@ def test_wavenet_priming_offset(rng):
     slow = np.asarray(net.predict_logits(params, codes))
     np.testing.assert_allclose(np.asarray(out_logits[:, 0]), slow[:, -1],
                                atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.smoke
+def test_autoregressive_decode_stops_early():
+    """The while_loop decoder stops at the zero-frame stop token, reports
+    per-row lengths, and leaves post-stop frames zero (dynamic_decode
+    zero-padding semantics)."""
+    from nspeech_tpu.models import decoder as D
+
+    num_mels, r, batch, max_iters = 3, 2, 2, 10
+    stop_at = jnp.array([4, 6])  # row 0 stops at step 4, row 1 at step 6
+
+    def step(carry, x, _rng):
+        t = carry
+        out = jnp.where((t + 1 >= stop_at)[:, None],
+                        0.0, jnp.full((batch, r * num_mels), 0.5 + t))
+        align = jnp.ones((batch, 5)) / 5.0
+        return t + 1, (out, align)
+
+    outs, aligns, steps = jax.jit(lambda c: D.scan_autoregressive(
+        step, c, batch, num_mels, r, max_iters))(jnp.zeros((), jnp.int32))
+    assert outs.shape == (max_iters, batch, r * num_mels)
+    np.testing.assert_array_equal(np.asarray(steps), [4, 6])
+    # frames past the LAST stop are zero (loop exited)
+    assert np.all(np.asarray(outs[6:]) == 0.0)
+    # pre-stop frames are the live values
+    assert np.all(np.asarray(outs[0, :, 0]) == 0.5)
