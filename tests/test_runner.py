@@ -111,3 +111,29 @@ def test_value_window():
     assert w.count == 3 and w.average == 5.0
     w.reset()
     assert w.count == 0 and w.average == 0.0
+
+
+@pytest.mark.smoke
+def test_trace_summary_aggregates_ops(tmp_path):
+    """summarize_trace reads a profiler-layout trace and aggregates device
+    op durations, dropping python-level rows."""
+    import gzip
+    import json
+
+    from nspeech_tpu.utils.profiling import summarize_trace
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "X", "name": "while.1", "dur": 1500, "ts": 0},
+        {"ph": "X", "name": "while.1", "dur": 500, "ts": 2},
+        {"ph": "X", "name": "fusion.9", "dur": 300, "ts": 4},
+        {"ph": "X", "name": "$prof.py:1 trace", "dur": 9999, "ts": 5},
+        {"ph": "M", "name": "process_name"},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    rows = summarize_trace(str(tmp_path))
+    assert rows[0] == (2.0, 2, "while.1")
+    assert rows[1] == (0.3, 1, "fusion.9")
+    assert all("$" not in name for _, _, name in rows)
