@@ -58,28 +58,48 @@ def scan_autoregressive(
     num_mels: int,
     r: int,
     max_iters: int,
+    stop_threshold: float = 0.0,
+    initial_finished: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Autoregressive decode with early stop (fixed output shapes).
 
     Returns (outputs [S, N, r*M], alignments [S, N, T_in], lengths [N])
-    where lengths counts decoder steps until the zero-frame stop token (or
-    max_iters). A ``lax.while_loop`` writes into preallocated
-    [max_iters, ...] buffers and terminates once every row has emitted the
-    stop token, so a short utterance pays for its own steps, not for
-    max_iters — output shapes stay static for jit. Frames past the stop
-    stay zero, matching the reference's dynamic_decode, which finishes
-    stopped rows and zero-pads (helpers.py:32-38); the previous
-    run-to-max_iters scan emitted free-running frames there instead.
+    where lengths counts decoder steps until the stop token (or max_iters).
+    A ``lax.while_loop`` writes into preallocated [max_iters, ...] buffers
+    and terminates once every row has emitted the stop token, so a short
+    utterance pays for its own steps, not for max_iters — output shapes
+    stay static for jit.
+
+    Stop criterion: a step whose every output value has |x| <=
+    ``stop_threshold``. The default 0.0 reproduces the reference's
+    exact-zero end-token quirk (helpers.py:35) — which a trained
+    L1-regressor essentially never emits — while a small positive value
+    (the ``stop_threshold`` hparam) makes early stop effective for real
+    models emitting near-zero frames.
+
+    Rows already finished (including rows of ``initial_finished``, used for
+    batch-padding rows that should not keep a real utterance's decode
+    alive) have their frames written as zeros, matching dynamic_decode's
+    per-row zeroing of finished sequences (the cell state keeps evolving,
+    like TF's impute_finished=False default).
     """
     x0 = jnp.zeros((batch, num_mels))          # GO frame
+    if initial_finished is None:
+        initial_finished = jnp.zeros((batch,), bool)
+
+    def stopped(out):
+        return jnp.all(jnp.abs(out) <= stop_threshold, axis=-1)
 
     # one eager step determines the per-step output shapes (and fills t=0)
     carry1, (out0, align0) = step(carry0, x0, None)
+    out0 = jnp.where(initial_finished[:, None], 0.0, out0)
     outs0 = jnp.zeros((max_iters,) + out0.shape, out0.dtype).at[0].set(out0)
     aligns0 = jnp.zeros((max_iters,) + align0.shape,
                         align0.dtype).at[0].set(align0)
-    finished0 = jnp.all(out0 == 0.0, axis=-1)
-    steps0 = jnp.where(finished0, 1, max_iters).astype(jnp.int32)
+    stop0 = stopped(out0)
+    finished0 = initial_finished | stop0
+    steps0 = jnp.where(initial_finished, 0,
+                       jnp.where(stop0, 1, max_iters)).astype(jnp.int32)
 
     def cond(state):
         t, _, _, finished, _, _, _ = state
@@ -88,9 +108,11 @@ def scan_autoregressive(
     def body(state):
         t, carry, x, finished, steps, outs, aligns = state
         carry, (out, align) = step(carry, x, None)
+        # zero rows that finished at an earlier step (pre-update flag)
+        out = jnp.where(finished[:, None], 0.0, out)
         outs = jax.lax.dynamic_update_index_in_dim(outs, out, t, 0)
         aligns = jax.lax.dynamic_update_index_in_dim(aligns, align, t, 0)
-        now_finished = jnp.all(out == 0.0, axis=-1)
+        now_finished = stopped(out)
         steps = jnp.where(~finished & now_finished, t + 1, steps)
         finished = finished | now_finished
         return (t + 1, carry, out[:, -num_mels:], finished, steps,

@@ -178,7 +178,9 @@ class Tacotron1:
             params, state, text_inputs, input_lengths, speaker_ids,
             is_training, rng_enc)
         keys_mem = A.prepare_memory(params["attention"], enc_out)
-        mask = jnp.arange(t_in)[None, :] < input_lengths[:, None]
+        # max(len, 1) keeps the softmax finite for length-0 batch-padding
+        # rows (they are marked finished at t=0 below and emit zeros).
+        mask = jnp.arange(t_in)[None, :] < jnp.maximum(input_lengths, 1)[:, None]
 
         step = self._make_step(params, keys_mem, enc_out, mask, spk, is_training)
         carry0 = self._decoder_carry0(n, t_in)
@@ -190,7 +192,9 @@ class Tacotron1:
         else:
             outs, aligns, lengths = D.scan_autoregressive(
                 lambda c, x, _r: step(c, x, None), carry0, n, cfg.num_mels,
-                cfg.outputs_per_step, cfg.max_iters)
+                cfg.outputs_per_step, cfg.max_iters,
+                stop_threshold=cfg.get("stop_threshold", 0.0),
+                initial_finished=input_lengths < 1)
 
         mel_outputs = D.assemble_outputs(outs, cfg.num_mels)
         alignments = D.assemble_alignments(aligns)

@@ -96,7 +96,10 @@ class Synthesizer:
         ids = np.full((n, padded_len), PAD_ID, np.int32)
         for i, s in enumerate(seqs):
             ids[i, : len(s)] = s
-        lengths = np.ones((n,), np.int32)
+        # Padding rows get length 0: the decoder marks them finished at t=0
+        # so they never keep the batch's while_loop running past the point
+        # where every real utterance has stopped.
+        lengths = np.zeros((n,), np.int32)
         lengths[: len(seqs)] = [len(s) for s in seqs]
         spk = np.zeros((n,), np.int32)
         spk[: len(seqs)] = [max(s, 0) for s in speaker_ids]

@@ -313,3 +313,82 @@ def test_autoregressive_decode_stops_early():
     assert np.all(np.asarray(outs[6:]) == 0.0)
     # pre-stop frames are the live values
     assert np.all(np.asarray(outs[0, :, 0]) == 0.5)
+    # row 0 finished at step 4: its frames at steps 4-5 (while row 1 was
+    # still decoding) are zeroed per-row, not free-running
+    assert np.all(np.asarray(outs[4:6, 0]) == 0.0)
+
+
+@pytest.mark.smoke
+def test_autoregressive_stop_threshold():
+    """A near-zero (but not exactly zero) frame stops decode when
+    stop_threshold is set, and does NOT stop it at the default 0.0 (the
+    reference's exact-zero end-token quirk, helpers.py:35)."""
+    from nspeech_tpu.models import decoder as D
+
+    num_mels, r, batch, max_iters = 3, 2, 2, 8
+
+    def step(carry, x, _rng):
+        t = carry
+        # after step 3 both rows emit tiny values (|x| = 0.01), never 0.0
+        out = jnp.where(t + 1 >= 3, 0.01, 0.7) * jnp.ones((batch, r * num_mels))
+        align = jnp.ones((batch, 5)) / 5.0
+        return t + 1, (out, align)
+
+    run = lambda thresh: jax.jit(lambda c: D.scan_autoregressive(
+        step, c, batch, num_mels, r, max_iters,
+        stop_threshold=thresh))(jnp.zeros((), jnp.int32))
+
+    _, _, steps_exact = run(0.0)
+    np.testing.assert_array_equal(np.asarray(steps_exact), [max_iters] * batch)
+
+    outs, _, steps = run(0.02)
+    np.testing.assert_array_equal(np.asarray(steps), [3, 3])
+    assert np.all(np.asarray(outs[3:]) == 0.0)
+
+
+@pytest.mark.smoke
+def test_autoregressive_initial_finished_rows():
+    """Rows marked finished at t=0 (batch-padding rows) emit only zeros,
+    report 0 decoded steps, and never extend the batch's while_loop."""
+    from nspeech_tpu.models import decoder as D
+
+    num_mels, r, batch, max_iters = 2, 1, 3, 12
+    stop_at = jnp.array([5, 9, 2])  # row 2's own stop would be step 2
+
+    def step(carry, x, _rng):
+        t = carry
+        out = jnp.where((t + 1 >= stop_at)[:, None],
+                        0.0, jnp.full((batch, r * num_mels), 1.0))
+        align = jnp.ones((batch, 4)) / 4.0
+        return t + 1, (out, align)
+
+    init_fin = jnp.array([False, False, True])  # row 2 is a padding row
+    outs, _, steps = jax.jit(lambda c: D.scan_autoregressive(
+        step, c, batch, num_mels, r, max_iters,
+        initial_finished=init_fin))(jnp.zeros((), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(steps), [5, 9, 0])
+    assert np.all(np.asarray(outs[:, 2]) == 0.0)   # padding row all zero
+    assert np.all(np.asarray(outs[9:]) == 0.0)     # loop exited at 9
+
+
+def test_synthesize_batch_padding_rows_stop_at_zero():
+    """End-to-end: a batch padded to a power of two decodes only as long as
+    its real rows need — padding rows start finished (length 0)."""
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+
+    cfg = tiny_taco2()
+    cfg.max_iters = 6
+    model = create_model("taco2", cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, state, model=model)
+    # 3 texts pad the batch to 4; the padding row must not prevent the
+    # while_loop from exiting once the 3 real rows stop (an untrained model
+    # never emits zeros, so every REAL row runs to max_iters — this test
+    # asserts shapes + no NaNs from the masked length-0 row).
+    wavs, mels, lins = synth.synthesize_batch(["ab", "abcd", "a"])
+    assert len(wavs) == 3
+    assert np.isfinite(np.asarray(mels)).all()
+    assert np.isfinite(np.asarray(lins)).all()
+    for w in wavs:
+        assert np.isfinite(w).all()
