@@ -6,9 +6,10 @@ default backend (the real TPU when available). Baseline target: 10,000
 frames/sec/chip on v5e (BASELINE.md); ``vs_baseline`` is value/10000.
 
 Also emitted by default: MFU (XLA cost-analysis FLOPs / step time / chip
-peak), sec/step, and the WaveNet Pallas sampling rates (single-stream and
-batch-8 aggregate; target 5x real time per BASELINE.md). Every record
-carries the active matmul precision so the numbers are interpretable.
+peak), sec/step, WaveNet TRAINING throughput, the WaveNet Pallas sampling
+rates (single-stream and batch-8 aggregate; target 5x real time per
+BASELINE.md), and the mel-conditioned vocoder rate. Every record carries
+the active matmul precision so the numbers are interpretable.
 """
 
 from __future__ import annotations
@@ -212,7 +213,8 @@ def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
-                        help="Also print secondary metrics (vocoder lc path)")
+                        help="Accepted for compatibility; every metric is "
+                             "emitted by default")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--precision", default="bfloat16",
@@ -232,6 +234,14 @@ def main() -> None:
     _emit("taco2_sec_per_step", round(sec_per_step, 4), "sec", None,
           args.precision)
 
+    # WaveNet TRAINING throughput — the reference's second trainer
+    # (train_wavenet.py) — emitted by default so every driver-captured
+    # bench file carries training AND sampling numbers for both families.
+    rate_tr = bench_wavenet_train(precision=args.precision)
+    _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
+          "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
+          args.precision)
+
     # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
     # are MXU-latency-bound; bf16 measured no faster). The TPU kernel does
     # not lower on CPU-only hosts — skip rather than crash mid-run there.
@@ -243,11 +253,6 @@ def main() -> None:
         _emit("wavenet_pallas_batch8_samples_per_sec_per_chip", round(rate8, 1),
               "samples/sec/chip", round(rtf8 / 5.0, 4), "float32")
 
-    if args.all:
-        rate_tr = bench_wavenet_train(precision=args.precision)
-        _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
-              "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
-              args.precision)
         from nspeech_tpu.serving.pipeline import WaveNetVocoder
         import nspeech_tpu.config as config
 

@@ -165,12 +165,21 @@ def make_app(synthesizer, cfg):
                                [("Content-Type", "text/plain")])
                 return [b"speaker_ids must be a list of integers "
                         b"matching texts in length"]
-            if hasattr(synthesizer, "synthesize_batch"):
-                wavs, _, _ = synthesizer.synthesize_batch(texts, speaker_ids)
-            else:
-                wavs = [synthesizer.synthesize(
-                    t, (speaker_ids or [-1] * len(texts))[i])[0]
-                    for i, t in enumerate(texts)]
+            try:
+                if hasattr(synthesizer, "synthesize_batch"):
+                    wavs, _, _ = synthesizer.synthesize_batch(
+                        texts, speaker_ids)
+                else:
+                    wavs = [synthesizer.synthesize(
+                        t, (speaker_ids or [-1] * len(texts))[i])[0]
+                        for i, t in enumerate(texts)]
+            except ValueError as e:
+                # e.g. the vocoder pipeline rejects mixing explicit
+                # speaker_ids with -1/None in one batch — a client error,
+                # not a server fault.
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [str(e).encode("utf-8")]
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w") as z:
                 for i, wav in enumerate(wavs):

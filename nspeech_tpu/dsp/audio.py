@@ -277,25 +277,6 @@ def _rdft_bases(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
     return fwd, inv
 
 
-def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
-    """[F, n_fft] frames -> [n_fft + hop*(F-1)] via dense shifted adds."""
-    F, n_fft = frames.shape
-    J = -(-n_fft // hop_length)      # frames J apart never overlap
-    total = n_fft + hop_length * (F - 1)
-    slack = total + J * hop_length
-    y = jnp.zeros((slack,), frames.dtype)
-    for j in range(J):
-        sub = frames[j::J]
-        if sub.shape[0] == 0:
-            continue
-        sub = jnp.pad(sub, ((0, 0), (0, J * hop_length - n_fft)))
-        flat = sub.reshape(-1)
-        flat = jnp.pad(flat, (j * hop_length,
-                              slack - j * hop_length - flat.shape[0]))
-        y = y + flat
-    return y[:total]
-
-
 @functools.lru_cache(maxsize=None)
 def _wss_np(n_fft: int, hop_length: int, win_length: int,
             n_frames: int) -> np.ndarray:
@@ -325,32 +306,37 @@ def _rdft_bases_traced(n_fft: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return fwd, inv
 
 
-def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
-                        win_length: int, iters: int) -> jnp.ndarray:
-    """Griffin-Lim on the matmul-DFT path; S is the |amplitude| [T, K].
+def _grouped_stft_ops(n_fft: int, hop_length: int, win_length: int,
+                      n_frames: int):
+    """Build the residue-grouped analysis/synthesis pair used by the TPU
+    Griffin-Lim loop.
 
-    All per-iteration data is kept in RESIDUE-GROUPED frame order (frames
-    j, j+J, j+2J, ... contiguous, J = ceil(n_fft/hop)): frames that far
-    apart never overlap, so both framing and overlap-add are dense
-    slice/reshape/add chains — no gathers anywhere in the hot loop.
+    Frames J = ceil(n_fft/hop) apart never overlap, so with frames kept in
+    RESIDUE-GROUPED order (frames j, j+J, j+2J, ... contiguous) both
+    framing and overlap-add are dense slice/reshape/add chains — no
+    gathers anywhere in the hot loop. Returns ``(regroup, to_wav,
+    from_wav)`` where ``regroup`` maps natural frame order [F, ...] to
+    grouped order; ``to_wav`` maps grouped (re, im) bins to the
+    squared-window-normalized padded-domain signal; ``from_wav`` maps a
+    padded-domain signal back to grouped (re, im) bins. Tested directly
+    against the scatter-add :func:`istft` oracle (test_dsp.py).
     """
     fwd, inv = _rdft_bases_traced(n_fft)
     window = jnp.asarray(_padded_window(n_fft, win_length))
-    n_frames, K = S.shape
+    K = n_fft // 2 + 1
     wss = jnp.asarray(_wss_np(n_fft, hop_length, win_length, n_frames))
     # Precision.DEFAULT: single-pass MXU matmuls; Griffin-Lim phase
     # estimation is itself approximate, and reconstruction quality is
     # unchanged at bf16 matmul precision (spectral-peak test).
     P = jax.lax.Precision.DEFAULT
-    pad = n_fft // 2
     J = -(-n_fft // hop_length)
     group_sizes = [len(range(j, n_frames, J)) for j in range(J)]
     offsets = np.concatenate([[0], np.cumsum(group_sizes)[:-1]]).astype(int)
     total = n_fft + hop_length * (n_frames - 1)    # padded signal length
     span = J * hop_length                          # per-frame stride slot
 
-    # magnitude rows regrouped ONCE, outside the loop
-    S_g = jnp.concatenate([S[j::J] for j in range(J)], axis=0)
+    def regroup(rows):
+        return jnp.concatenate([rows[j::J] for j in range(J)], axis=0)
 
     def to_wav(re_g, im_g):
         """grouped (re, im) -> padded-signal waveform (center pad kept)."""
@@ -388,6 +374,21 @@ def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
         frames = jnp.concatenate(groups, axis=0) * window[None, :]
         ri = jnp.dot(frames, fwd, precision=P)
         return ri[:, :K], ri[:, K:]
+
+    return regroup, to_wav, from_wav
+
+
+def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
+                        win_length: int, iters: int) -> jnp.ndarray:
+    """Griffin-Lim on the matmul-DFT path; S is the |amplitude| [T, K]."""
+    n_frames, K = S.shape
+    pad = n_fft // 2
+    total = n_fft + hop_length * (n_frames - 1)
+    regroup, to_wav, from_wav = _grouped_stft_ops(
+        n_fft, hop_length, win_length, n_frames)
+
+    # magnitude rows regrouped ONCE, outside the loop
+    S_g = regroup(S)
 
     theta = 2.0 * jnp.pi * jax.random.uniform(key, S_g.shape)
     y = to_wav(S_g * jnp.cos(theta), S_g * jnp.sin(theta))

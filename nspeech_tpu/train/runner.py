@@ -26,10 +26,17 @@ from nspeech_tpu.utils.metrics import MetricWriter
 
 def pick_mesh(batch_size: int):
     """Data-parallel mesh over all devices when the batch divides evenly,
-    else fall back to single-device (degenerate mesh)."""
+    else fall back to single-device (degenerate mesh) — loudly, because on
+    a pod slice a bad batch size would otherwise silently train at 1/N
+    speed."""
     n = len(jax.devices())
     if n > 1 and batch_size % n == 0:
         return make_mesh()
+    if n > 1:
+        log("WARNING: batch_size=%d does not divide across %d devices; "
+            "FALLING BACK TO SINGLE-DEVICE training (1/%d throughput). "
+            "Set batch_size to a multiple of %d to use the full mesh."
+            % (batch_size, n, n, n), slack=True)
     return None
 
 

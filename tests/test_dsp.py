@@ -262,16 +262,45 @@ def test_rdft_bases_match_numpy_fft(rng):
     np.testing.assert_allclose(back, x, atol=1e-4)
 
 
-def test_overlap_add_matches_scatter(rng):
-    from nspeech_tpu.dsp.audio import _overlap_add
+def test_grouped_stft_ops_match_scatter_oracle(rng):
+    """The PRODUCTION Griffin-Lim synthesis/analysis pair (residue-grouped
+    dense overlap-add) matches a straightforward numpy scatter-add oracle —
+    the same ops `_griffin_lim_matmul` runs every iteration."""
+    from nspeech_tpu.dsp.audio import (
+        _grouped_stft_ops, _padded_window, _wss_np)
 
-    F, n_fft, hop = 11, 64, 9      # non-divisible hop exercises residues
-    frames = rng.standard_normal((F, n_fft)).astype(np.float32)
-    ours = np.asarray(_overlap_add(jnp.asarray(frames), hop))
-    ref = np.zeros(n_fft + hop * (F - 1), np.float32)
+    F, n_fft, hop, win = 11, 64, 9, 50   # non-divisible hop -> residues
+    K = n_fft // 2 + 1
+    J = -(-n_fft // hop)
+    regroup, to_wav, from_wav = _grouped_stft_ops(n_fft, hop, win, F)
+    natural = [i for j in range(J) for i in range(j, F, J)]  # grouped order
+    window = _padded_window(n_fft, win)
+    total = n_fft + hop * (F - 1)
+
+    # synthesis: grouped (re, im) -> normalized overlap-add
+    re = rng.standard_normal((F, K)).astype(np.float32)
+    im = rng.standard_normal((F, K)).astype(np.float32)
+    im[:, 0] = 0.0
+    im[:, -1] = 0.0
+    ours = np.asarray(to_wav(regroup(jnp.asarray(re)),
+                             regroup(jnp.asarray(im))))
+    ref = np.zeros(total, np.float64)
     for i in range(F):
-        ref[i * hop: i * hop + n_fft] += frames[i]
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+        frame = np.fft.irfft(re[i] + 1j * im[i], n=n_fft) * window
+        ref[i * hop: i * hop + n_fft] += frame
+    ref /= _wss_np(n_fft, hop, win, F)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+    # analysis: padded-domain signal -> grouped windowed rfft per frame
+    y = rng.standard_normal(total).astype(np.float32)
+    re_g, im_g = (np.asarray(a) for a in from_wav(jnp.asarray(y)))
+    for g, i in enumerate(natural):
+        frame = np.zeros(n_fft)
+        avail = min(n_fft, total - i * hop)
+        frame[:avail] = y[i * hop: i * hop + avail]
+        bins = np.fft.rfft(frame * window)
+        np.testing.assert_allclose(re_g[g], bins.real, atol=2e-3)
+        np.testing.assert_allclose(im_g[g], bins.imag, atol=2e-3)
 
 
 def test_griffin_lim_matmul_reconstructs_tone():

@@ -153,3 +153,32 @@ def test_batch_synthesis_and_batch_route(corpus, tmp_path):
                "wsgi.input": io.BytesIO(payload)}
         b"".join(app(env, start_response))
         assert captured["status"].startswith("400"), bad
+
+
+def test_batch_route_speaker_mix_rejected_as_400():
+    """A batch mixing explicit speaker_ids with -1 (unconditioned) is a
+    client error: the pipeline's ValueError maps to 400, not a 500."""
+    import io
+    import json
+
+    from demo_server import make_app
+
+    class MixRejectingSynth:
+        def synthesize_batch(self, texts, speaker_ids=None):
+            raise ValueError("cannot mix explicit speaker_ids and -1/None")
+
+    cfg = micro_cfg()
+    app = make_app(MixRejectingSynth(), cfg)
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+
+    payload = json.dumps({"texts": ["hi", "yo"],
+                          "speaker_ids": [0, -1]}).encode()
+    env = {"PATH_INFO": "/synthesize_batch", "QUERY_STRING": "",
+           "CONTENT_LENGTH": str(len(payload)),
+           "wsgi.input": io.BytesIO(payload)}
+    body = b"".join(app(env, start_response))
+    assert captured["status"].startswith("400")
+    assert b"mix" in body

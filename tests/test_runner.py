@@ -137,3 +137,20 @@ def test_trace_summary_aggregates_ops(tmp_path):
     assert rows[0] == (2.0, 2, "while.1")
     assert rows[1] == (0.3, 1, "fusion.9")
     assert all("$" not in name for _, _, name in rows)
+
+
+def test_pick_mesh_fallback_is_loud(capsys):
+    """An indivisible batch size falls back to single-device training with
+    a WARNING (not silently at 1/N speed)."""
+    import jax
+
+    from nspeech_tpu.train.runner import pick_mesh
+
+    n = len(jax.devices())
+    assert n > 1  # conftest forces an 8-device CPU host
+    assert pick_mesh(n * 2) is not None
+    capsys.readouterr()
+    assert pick_mesh(n * 2 + 1) is None
+    out = capsys.readouterr().out
+    assert "FALLING BACK TO SINGLE-DEVICE" in out
+    assert "batch_size=%d" % (n * 2 + 1) in out
