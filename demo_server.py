@@ -203,32 +203,34 @@ def main() -> None:
                         help="Checkpoint directory (log_dir/<run>/ckpt)")
     parser.add_argument("--checkpoint-step", type=int, default=None)
     parser.add_argument("--port", type=int, default=9000)
-    parser.add_argument("--model", default="taco1")
+    parser.add_argument("--model", default=None, help="Model name (default: checkpoint run metadata)")
     parser.add_argument("--hparams", default="")
     parser.add_argument("--num-speakers", type=int, default=None)
     parser.add_argument("--vocoder-checkpoint", default=None,
                         help="WaveNet vocoder checkpoint dir (else Griffin-Lim)")
-    parser.add_argument("--vocoder-model", default="wavenet")
+    parser.add_argument("--vocoder-model", default=None)
     parser.add_argument("--vocoder-hparams", default="")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
-    cfg = config.load_config(args.model)
-    cfg.parse(args.hparams)
+    from nspeech_tpu.train import config_from_checkpoint
+
+    cfg, model_name = config_from_checkpoint(
+        args.checkpoint, args.model or None, args.hparams)
     if args.num_speakers is not None:
         cfg.num_speakers = args.num_speakers
     print(config.debug_string(cfg))
     synthesizer = Synthesizer(cfg)
-    synthesizer.load(args.checkpoint, args.model, step=args.checkpoint_step)
+    synthesizer.load(args.checkpoint, model_name, step=args.checkpoint_step)
     if args.vocoder_checkpoint:
         from nspeech_tpu.serving import TextToSpeech, WaveNetVocoder
 
-        vcfg = config.load_config(args.vocoder_model)
-        vcfg.parse(args.vocoder_hparams)
-        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint,
-                                            args.vocoder_model)
+        vcfg, vname = config_from_checkpoint(
+            args.vocoder_checkpoint, args.vocoder_model,
+            args.vocoder_hparams, default_model="wavenet")
+        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint, vname)
         synthesizer = TextToSpeech(synthesizer, vocoder)
     app = make_app(synthesizer, cfg)
     print("Serving on port %d" % args.port)

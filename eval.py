@@ -76,7 +76,7 @@ def main() -> None:
     parser.add_argument("--checkpoint", required=True,
                         help="Checkpoint directory (log_dir/<run>/ckpt)")
     parser.add_argument("--checkpoint-step", type=int, default=None)
-    parser.add_argument("--model", default="taco1")
+    parser.add_argument("--model", default=None, help="Model name (default: checkpoint run metadata)")
     parser.add_argument("--hparams", default="")
     parser.add_argument("--speaker", type=int, default=-1)
     parser.add_argument("--num-speakers", type=int, default=None,
@@ -92,8 +92,10 @@ def main() -> None:
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
-    cfg = config.load_config(args.model)
-    cfg.parse(args.hparams)
+    from nspeech_tpu.train import config_from_checkpoint
+
+    cfg, args.model = config_from_checkpoint(
+        args.checkpoint, args.model or None, args.hparams)
     if args.num_speakers is not None:
         cfg.num_speakers = args.num_speakers
     run_eval(args, cfg)

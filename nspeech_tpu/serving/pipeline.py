@@ -56,6 +56,24 @@ class WaveNetVocoder:
         self._pallas_gc = None  # gc_ids the cached generator was packed with
         _, self._hop, _ = stft_params(cfg)
 
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str,
+                        model_name: Optional[str] = None,
+                        overrides: str = "",
+                        step: Optional[int] = None,
+                        use_pallas: bool = True) -> "WaveNetVocoder":
+        """Build a vocoder from the checkpoint's persisted run metadata
+        (exact training-time hparams incl. lc/gc channels and the mutated
+        gc_category_cardinality), with ``k=v,...`` overrides applied
+        last."""
+        from nspeech_tpu.train import config_from_checkpoint
+
+        cfg, name = config_from_checkpoint(checkpoint_dir, model_name,
+                                           overrides,
+                                           default_model="wavenet")
+        return cls(cfg, use_pallas=use_pallas).load(checkpoint_dir, name,
+                                                    step=step)
+
     def load(self, checkpoint_dir: str, model_name: str = "wavenet",
              step: Optional[int] = None) -> "WaveNetVocoder":
         from nspeech_tpu.models import create_model

@@ -33,13 +33,39 @@ class Synthesizer:
         self._text_bucket = text_bucket
         self._forward = None
 
-    def load(self, checkpoint_dir: str, model_name: str,
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str,
+                        model_name: Optional[str] = None,
+                        overrides: str = "",
+                        step: Optional[int] = None,
+                        text_bucket: int = 32) -> "Synthesizer":
+        """Build a Synthesizer entirely from a checkpoint's persisted run
+        metadata (exact training-time hparams incl. the mutated
+        num_speakers — no manual --num-speakers/--hparams hand-off), with
+        optional ``k=v,...`` overrides applied last."""
+        from nspeech_tpu.train import config_from_checkpoint
+
+        cfg, name = config_from_checkpoint(checkpoint_dir, model_name,
+                                           overrides)
+        return cls(cfg, text_bucket=text_bucket).load(
+            checkpoint_dir, name, step=step)
+
+    def load(self, checkpoint_dir: str, model_name: Optional[str] = None,
              step: Optional[int] = None) -> "Synthesizer":
         """Restore parameters from an Orbax checkpoint directory (latest step
-        unless ``step`` is given)."""
+        unless ``step`` is given). ``model_name`` defaults to the persisted
+        run metadata's model."""
         from nspeech_tpu.train import (
-            CheckpointManager, create_state, make_optimizer)
+            CheckpointManager, create_state, load_run_metadata,
+            make_optimizer)
 
+        if model_name is None:
+            meta = load_run_metadata(checkpoint_dir)
+            if meta is None or "model" not in meta:
+                raise ValueError(
+                    "model_name not given and no run metadata at %r"
+                    % checkpoint_dir)
+            model_name = meta["model"]
         self.model = create_model(model_name, self.cfg)
         tx, _ = make_optimizer(self.cfg, model_name)
         template = jax.eval_shape(

@@ -17,11 +17,12 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", required=True,
                         help="Acoustic-model checkpoint dir")
-    parser.add_argument("--model", default="taco2")
+    parser.add_argument("--model", default=None,
+                        help="Model name (default: checkpoint run metadata)")
     parser.add_argument("--hparams", default="")
     parser.add_argument("--vocoder-checkpoint", default=None,
                         help="WaveNet vocoder checkpoint dir (else Griffin-Lim)")
-    parser.add_argument("--vocoder-model", default="wavenet")
+    parser.add_argument("--vocoder-model", default=None)
     parser.add_argument("--vocoder-hparams", default="")
     parser.add_argument("--text", required=True)
     parser.add_argument("--speaker", type=int, default=-1)
@@ -34,18 +35,23 @@ def main() -> None:
 
     set_platform(args.platform)
 
-    cfg = config.load_config(args.model)
-    cfg.parse(args.hparams)
+    # Prefer the run metadata persisted next to the checkpoint (exact
+    # training-time hparams, incl. the mutated num_speakers) — no manual
+    # flag hand-off needed; --hparams/--num-speakers still override.
+    from nspeech_tpu.train import config_from_checkpoint
+
+    cfg, model_name = config_from_checkpoint(
+        args.checkpoint, args.model or None, args.hparams)
     if args.num_speakers is not None:
         cfg.num_speakers = args.num_speakers
-    synth = Synthesizer(cfg).load(args.checkpoint, args.model)
+    synth = Synthesizer(cfg).load(args.checkpoint, model_name)
 
     vocoder = None
     if args.vocoder_checkpoint:
-        vcfg = config.load_config(args.vocoder_model)
-        vcfg.parse(args.vocoder_hparams)
-        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint,
-                                            args.vocoder_model)
+        vcfg, vname = config_from_checkpoint(
+            args.vocoder_checkpoint, args.vocoder_model,
+            args.vocoder_hparams, default_model="wavenet")
+        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint, vname)
 
     tts = TextToSpeech(synth, vocoder)
     wav, mel, lin = tts.synthesize(args.text, args.speaker,

@@ -60,6 +60,13 @@ def train(log_dir: str, args, cfg) -> None:
     log("Loaded %d examples / %d speakers" % (
         len(feeder._items), feeder.num_speakers))
 
+    # Snapshot the EFFECTIVE config (post-mutation) + speaker map next to
+    # the checkpoint so serving needs no manual flag hand-off.
+    from nspeech_tpu.train import save_run_metadata
+
+    save_run_metadata(os.path.join(log_dir, "ckpt"), args.model, cfg,
+                      speaker_map=feeder.speaker2id)
+
     model = create_model(args.model, cfg)
     tx, schedule = make_optimizer(cfg, args.model)
     mesh = pick_mesh(cfg.batch_size)

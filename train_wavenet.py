@@ -45,6 +45,13 @@ def train_wavenet(log_dir: str, args, cfg) -> None:
     cfg.gc_category_cardinality = feeder.num_speakers
     l2 = cfg.l2_regularization_strength or None
 
+    # Snapshot the EFFECTIVE config (post-mutation) + speaker map next to
+    # the checkpoint so generation/vocoding needs no manual flag hand-off.
+    from nspeech_tpu.train import save_run_metadata
+
+    save_run_metadata(os.path.join(log_dir, "ckpt"), args.model, cfg,
+                      speaker_map=feeder.speaker2id)
+
     use_gc = cfg.gc_channels > 0
     use_lc = cfg.lc_channels > 0
     if use_gc:
