@@ -51,6 +51,27 @@ def scan_teacher(
     return outs, aligns
 
 
+def scan_teacher_deferred(
+    step: Callable,        # (carry, x, rng_t, zs_t) -> (carry, (out, align, aux))
+    carry0,
+    inputs: jnp.ndarray,   # [S, N, M]
+    zs,                    # pytree of [S, ...] per-step injection tensors
+    rng: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Teacher-forced decode with deferred weight-gradient injections (see
+    ops/deferred.py). Returns (outputs, alignments, aux) where aux stacks
+    the in-scan matmul inputs [S, ...] for the post-hoc dW matmuls."""
+    s = inputs.shape[0]
+    keys = jax.random.split(rng, s)
+
+    def body(carry, xs):
+        x, key, z = xs
+        return step(carry, x, key, z)
+
+    _, (outs, aligns, aux) = jax.lax.scan(body, carry0, (inputs, keys, zs))
+    return outs, aligns, aux
+
+
 def scan_autoregressive(
     step: Callable,
     carry0,

@@ -21,6 +21,7 @@ from nspeech_tpu.config import Config
 from nspeech_tpu.models import attention as A
 from nspeech_tpu.models import decoder as D
 from nspeech_tpu.models import modules as M
+from nspeech_tpu.ops import deferred as DF
 from nspeech_tpu.ops import layers as L
 from nspeech_tpu.text.symbols import symbols
 
@@ -95,28 +96,58 @@ class Tacotron2:
 
     # -- decoder step -----------------------------------------------------
 
-    def _make_step(self, params, keys_mem, values, mask, spk, is_training: bool):
+    def _make_step(self, params, keys_mem, values, mask, spk,
+                   is_training: bool, deferred: bool = False):
         cfg = self.cfg
         drop = cfg.drop_rate if is_training else 0.0
 
-        def step(carry, x, rng_t):
+        def step(carry, x, rng_t, zs=None):
             (c1, h1), context, align, (c2, h2), (c3, h3) = carry
             cell_in = jnp.concatenate([x, context], axis=-1)
             pre = L.prenet(params["decoder_prenet"], cell_in, drop, rng_t)
             if spk is not None:
                 s = L.dense(params["spk_prenet"], spk, softsign)
                 pre = jnp.concatenate([pre, s], axis=-1)
-            out1, (c1, h1) = L.lstm_cell(params["attn_lstm"], pre, (c1, h1))
+            if deferred:
+                out1, (c1, h1), xh1 = DF.lstm_cell_deferred(
+                    params["attn_lstm"], pre, (c1, h1), zs["attn_lstm"])
+            else:
+                out1, (c1, h1) = L.lstm_cell(params["attn_lstm"], pre, (c1, h1))
             context, align = A.attention_step(
                 params["attention"], "location_sensitive", out1, align,
                 keys_mem, values, mask)
             concat_out = jnp.concatenate([out1, context], axis=-1)
+            if deferred:
+                out2, (c2, h2), xh2 = DF.lstm_cell_deferred(
+                    params["lstm1"], concat_out, (c2, h2), zs["lstm1"])
+                out3, (c3, h3), xh3 = DF.lstm_cell_deferred(
+                    params["lstm2"], out2, (c3, h3), zs["lstm2"])
+                out, fp_in = DF.dense_deferred(
+                    params["frame_proj"], out3, zs["frame_proj"])
+                aux = {"attn_lstm": xh1, "lstm1": xh2, "lstm2": xh3,
+                       "frame_proj": fp_in}
+                return ((c1, h1), context, align, (c2, h2), (c3, h3)), (
+                    out, align, aux)
             out2, (c2, h2) = L.lstm_cell(params["lstm1"], concat_out, (c2, h2))
             out3, (c3, h3) = L.lstm_cell(params["lstm2"], out2, (c3, h3))
             out = L.dense(params["frame_proj"], out3)
             return ((c1, h1), context, align, (c2, h2), (c3, h3)), (out, align)
 
         return step
+
+    def deferred_zero_inputs(self, batch: int, steps: int):
+        """Zero per-step injection tensors for deferred-dW training (see
+        ops/deferred.py): one [S, N, out] array per in-scan matmul whose
+        weight gradient is accumulated post-hoc."""
+        cfg = self.cfg
+        z = jnp.zeros
+        return {
+            "attn_lstm": z((steps, batch, 4 * cfg.attention_dim)),
+            "lstm1": z((steps, batch, 4 * cfg.decoder_lstm_units)),
+            "lstm2": z((steps, batch, 4 * cfg.decoder_lstm_units)),
+            "frame_proj": z((steps, batch,
+                             cfg.num_mels * cfg.outputs_per_step)),
+        }
 
     def _decoder_carry0(self, batch: int, t_in: int):
         cfg = self.cfg
@@ -145,6 +176,7 @@ class Tacotron2:
         mel_targets: Optional[jnp.ndarray] = None,
         is_training: bool = False,
         rng: Optional[jnp.ndarray] = None,
+        deferred_zs=None,
     ):
         cfg = self.cfg
         if rng is None:
@@ -164,13 +196,19 @@ class Tacotron2:
         # max(len, 1) keeps the softmax finite for length-0 batch-padding
         # rows (they are marked finished at t=0 below and emit zeros).
         mask = jnp.arange(t_in)[None, :] < jnp.maximum(input_lengths, 1)[:, None]
-        step = self._make_step(params, keys_mem, enc_out, mask, spk, is_training)
+        step = self._make_step(params, keys_mem, enc_out, mask, spk,
+                               is_training, deferred=deferred_zs is not None)
         carry0 = self._decoder_carry0(n, t_in)
 
         lengths = None
+        deferred_aux = None
         if mel_targets is not None:
             inputs = D.teacher_frames(mel_targets, cfg.outputs_per_step)
-            outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
+            if deferred_zs is not None:
+                outs, aligns, deferred_aux = D.scan_teacher_deferred(
+                    step, carry0, inputs, deferred_zs, rng_dec)
+            else:
+                outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
         else:
             outs, aligns, lengths = D.scan_autoregressive(
                 lambda c, x, _r: step(c, x, None), carry0, n, cfg.num_mels,
@@ -197,6 +235,8 @@ class Tacotron2:
         }
         if lengths is not None:
             outputs["decoder_steps"] = lengths
+        if deferred_aux is not None:
+            outputs["deferred_inputs"] = deferred_aux
         new_state = {"encoder": enc_state, "postnet": post_state,
                      "expand": expand_state}
         return outputs, new_state

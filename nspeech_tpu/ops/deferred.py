@@ -1,0 +1,107 @@
+"""Deferred weight-gradient accumulation for matmuls inside ``lax.scan``.
+
+The naive transpose of a scan whose body contains ``y = x @ W`` accumulates
+``dW += x_t^T dy_t`` with a read-modify-write of the FULL [in, out] weight
+gradient every backward step. For the Tacotron decoder's 4096-wide LSTM
+kernels that RMW traffic (~29 MB read + write per step, 80 steps) was
+profiled at ~3 ms of the 33 ms train step (README "Step-time budget").
+
+The restructuring implemented here:
+
+1. inside the scan, weights enter under ``stop_gradient`` (so the scan
+   transpose carries NO weight-gradient accumulator), and a per-step
+   zero tensor ``z`` from the scan's inputs is added to the
+   pre-activation — its cotangent ``dz_t`` is exactly the full adjoint of
+   the pre-activation (including every recurrent path), and the scan
+   transpose emits it as a cheap per-step stacked WRITE ([B, out], no
+   read) because cotangents of scan inputs are scan outputs;
+2. the body also emits the matmul input ``x_t`` (a residual autodiff
+   saved anyway) as a stacked output;
+3. after the backward scan, ``dW = sum_t x_t^T dz_t`` is recovered as ONE
+   large MXU matmul over the stacked sequences ([S*B, in]^T @ [S*B, out])
+   and ``db = sum dz`` as one reduction — :func:`matmul_grads`.
+
+This is exact (same chain rule, reassociated), verified against the
+naive scan transpose in tests/test_deferred.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, jnp.ndarray]
+
+
+def dense_deferred(params: Params, x: jnp.ndarray, z: jnp.ndarray,
+                   activation=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense layer with deferred weight grads.
+
+    Returns ``(y, x)`` — the caller must emit ``x`` from the scan and pass
+    the stacked ``(x, dz)`` to :func:`matmul_grads`.
+    """
+    y = jnp.dot(x, lax.stop_gradient(params["kernel"]),
+                preferred_element_type=jnp.float32) + z
+    if "bias" in params:
+        y = y + lax.stop_gradient(params["bias"])
+    return (activation(y) if activation is not None else y), x
+
+
+def lstm_cell_deferred(
+    params: Params,
+    x: jnp.ndarray,
+    state: Tuple[jnp.ndarray, jnp.ndarray],
+    z: jnp.ndarray,
+    forget_bias: float = 1.0,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """LSTM cell (ops.layers.lstm_cell semantics) with deferred weight
+    grads. Returns ``(out, (c, h), xh)`` where ``xh`` is the kernel input
+    to stack for :func:`matmul_grads`."""
+    c, h = state
+    xh = jnp.concatenate([x, h], axis=-1)
+    pre = (jnp.dot(xh, lax.stop_gradient(params["kernel"]),
+                   preferred_element_type=jnp.float32)
+           + lax.stop_gradient(params["bias"]) + z)
+    i, g, f, o = jnp.split(pre, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, (new_c, new_h), xh
+
+
+def gru_cell_deferred(
+    params: Params,
+    x: jnp.ndarray,
+    h: jnp.ndarray,
+    z_gate: jnp.ndarray,
+    z_cand: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GRU cell (ops.layers.gru_cell semantics) with deferred weight grads
+    for BOTH kernels. Returns ``(h_new, xh, xrh)`` — the gate and
+    candidate kernel inputs to stack."""
+    xh = jnp.concatenate([x, h], axis=-1)
+    gates = jax.nn.sigmoid(
+        jnp.dot(xh, lax.stop_gradient(params["gate_kernel"]),
+                preferred_element_type=jnp.float32)
+        + lax.stop_gradient(params["gate_bias"]) + z_gate)
+    r, u = jnp.split(gates, 2, axis=-1)
+    xrh = jnp.concatenate([x, r * h], axis=-1)
+    cand = jnp.tanh(
+        jnp.dot(xrh, lax.stop_gradient(params["cand_kernel"]),
+                preferred_element_type=jnp.float32)
+        + lax.stop_gradient(params["cand_bias"]) + z_cand)
+    return u * h + (1.0 - u) * cand, xh, xrh
+
+
+def matmul_grads(inputs: jnp.ndarray, dz: jnp.ndarray,
+                 kernel: str = "kernel", bias: str = "bias") -> Params:
+    """Post-hoc weight grads from stacked scan sequences.
+
+    ``inputs`` [S, B, in], ``dz`` [S, B, out] ->
+    ``{kernel: [in, out], bias: [out]}`` via one accumulating matmul.
+    """
+    dW = jnp.einsum("sbi,sbo->io", inputs, dz,
+                    preferred_element_type=jnp.float32)
+    return {kernel: dW, bias: dz.sum(axis=(0, 1))}

@@ -54,20 +54,44 @@ def _leaf_norms(tree) -> jnp.ndarray:
 
 
 def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
-                              multi_speaker: Optional[bool] = None):
-    """Train step for taco1/taco2 on a data.feeder.Batch."""
+                              multi_speaker: Optional[bool] = None,
+                              deferred_dw: Optional[bool] = None):
+    """Train step for taco1/taco2 on a data.feeder.Batch.
+
+    ``deferred_dw`` (default: on when the model supports it) accumulates
+    the decoder scan's LSTM/projection weight gradients post-hoc from
+    saved per-step activations instead of inside the scan transpose — the
+    profiled ~3 ms/step accumulator-RMW lever (ops/deferred.py).
+    """
+    if deferred_dw is None:
+        deferred_dw = hasattr(model, "deferred_zero_inputs")
 
     def step_fn(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
-        def loss_fn(params):
+        def loss_fn(params, zs):
             outputs, new_bn = model.forward(
                 params, state.bn_state, batch.inputs, batch.input_lengths,
                 speaker_ids=batch.speaker_ids, mel_targets=batch.mel_targets,
-                is_training=True, rng=rng)
+                is_training=True, rng=rng, **(
+                    {"deferred_zs": zs} if zs is not None else {}))
             loss, metrics = model.loss(outputs, batch.mel_targets,
                                        batch.linear_targets)
-            return loss, (metrics, new_bn)
+            return loss, (metrics, new_bn, outputs.get("deferred_inputs"))
 
-        grads, (metrics, new_bn) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if deferred_dw:
+            n, t_out = batch.mel_targets.shape[:2]
+            zs0 = model.deferred_zero_inputs(
+                n, t_out // model.cfg.outputs_per_step)
+            (grads, dzs), (metrics, new_bn, cell_ins) = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(state.params, zs0)
+            from nspeech_tpu.ops.deferred import matmul_grads
+
+            for name, dz in dzs.items():
+                g = matmul_grads(cell_ins[name], dz)
+                grads[name] = {k: v for k, v in g.items()
+                               if k in grads[name]}
+        else:
+            grads, (metrics, new_bn, _) = jax.grad(
+                loss_fn, has_aux=True)(state.params, None)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

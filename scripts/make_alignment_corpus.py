@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Generate a synthetic-but-STRUCTURED corpus for alignment training.
+
+Unlike ``tests/make_synth_corpus.py`` (whose audio is independent of the
+text — fine for plumbing smoke tests, useless for attention), every
+character here is rendered as a distinct spectral "phone":
+
+- each character has its own base frequency and harmonic recipe, so the
+  mel signature identifies the character;
+- each instance's duration is jittered (0.75-1.3x the per-char base), so
+  the text->audio time map is content-dependent and non-linear — the
+  decoder can only predict the next frames by attending to the right
+  input position, exactly the monotonic-alignment problem real TTS
+  training has to solve (the behavior the reference documents as
+  alignment forming/collapsing, reference README.md:75-89);
+- words are drawn from a small lexicon and sentences are lowercase with
+  basic punctuation, so ``english_cleaners`` is an identity and the
+  1:1 character<->audio correspondence survives the text frontend.
+
+Output is LJSpeech layout (wavs/<id>.wav + metadata.csv), consumable by
+``train.py --ljspeech``.
+
+Usage: python scripts/make_alignment_corpus.py <out_dir> [n_utt] [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+WORDS = [
+    "tone", "line", "echo", "wave", "note", "drum", "reed", "bell",
+    "hum", "air", "song", "beat", "chord", "pitch", "sound", "voice",
+    "low", "high", "soft", "loud", "fast", "slow", "deep", "thin",
+    "the", "a", "and", "of", "in", "on", "with", "over",
+]
+
+# Per-character base duration in seconds (vowels long, stops short).
+_VOWELS = set("aeiou")
+
+
+def _char_base_dur(c: str) -> float:
+    if c == " ":
+        return 0.06
+    if c in _VOWELS:
+        return 0.11
+    if c in ",.?!":
+        return 0.10
+    return 0.075
+
+
+def _char_freq(c: str) -> float:
+    """Distinct base frequency per character, 170-1200 Hz."""
+    if c == " " or c in ",.?!":
+        return 0.0  # rendered as silence/noise
+    idx = ord(c) - ord("a")
+    return 170.0 * (1.072 ** (idx * 2.1))  # ~7% spacing, well separable
+
+
+def render_char(c: str, dur: float, sample_rate: int,
+                rng: np.random.Generator) -> np.ndarray:
+    n = int(dur * sample_rate)
+    t = np.arange(n) / sample_rate
+    f = _char_freq(c)
+    if f == 0.0:
+        return 0.004 * rng.standard_normal(n)
+    idx = ord(c) - ord("a")
+    # character-specific harmonic recipe (second fingerprint besides f0)
+    h2 = 0.5 * ((idx * 7) % 5) / 4.0
+    h3 = 0.5 * ((idx * 3) % 5) / 4.0
+    wav = np.sin(2 * np.pi * f * t)
+    wav += h2 * np.sin(2 * np.pi * 2 * f * t)
+    wav += h3 * np.sin(2 * np.pi * 3 * f * t)
+    # attack/release ramps to avoid clicks and give an onset cue
+    ramp = min(n // 8, int(0.008 * sample_rate)) or 1
+    env = np.ones(n)
+    env[:ramp] = np.linspace(0, 1, ramp)
+    env[-ramp:] = np.linspace(1, 0, ramp)
+    wav = 0.4 * wav / (1.0 + h2 + h3) * env
+    return wav + 0.003 * rng.standard_normal(n)
+
+
+def render_text(text: str, sample_rate: int,
+                rng: np.random.Generator) -> np.ndarray:
+    parts = [
+        render_char(c, _char_base_dur(c) * rng.uniform(0.75, 1.3),
+                    sample_rate, rng)
+        for c in text
+    ]
+    return np.clip(np.concatenate(parts), -1.0, 1.0)
+
+
+def make_sentence(rng: np.random.Generator) -> str:
+    n_words = int(rng.integers(3, 9))
+    words = [WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(n_words)]
+    return " ".join(words) + "."
+
+
+def make_corpus(out_dir: str, n: int = 400, sample_rate: int = 20000,
+                seed: int = 11) -> str:
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+    lines = []
+    total_s = 0.0
+    for i in range(n):
+        utt_id = "ALN%04d" % i
+        text = make_sentence(rng)
+        wav = render_text(text, sample_rate, rng)
+        total_s += len(wav) / sample_rate
+        wavfile.write(os.path.join(out_dir, "wavs", utt_id + ".wav"),
+                      sample_rate, (wav * 32767).astype(np.int16))
+        lines.append(f"{utt_id}|{text}|{text}")
+    with open(os.path.join(out_dir, "metadata.csv"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    print("Wrote %d utterances (%.1f min of audio) to %s"
+          % (n, total_s / 60.0, out_dir))
+    return out_dir
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/alignment_corpus"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 11
+    make_corpus(out, n, seed=seed)
