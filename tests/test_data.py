@@ -203,3 +203,28 @@ def test_feeder_tiny_corpus_wraps_to_fill_batch(corpus, cfg):
     assert batch.inputs.shape[0] == 16
     b2 = next(feeder.batches())  # threaded path must not spin
     assert b2.inputs.shape[0] == 16
+
+
+def test_device_cached_batches(tmp_path):
+    """Device-resident batch cache: uniform shapes (one compile), fixed
+    composition, epoch-shuffled order, endless stream."""
+    import jax
+
+    from nspeech_tpu.config import load_config
+    from nspeech_tpu.data.device_cache import DeviceCachedBatches
+    from nspeech_tpu.data.feeder import DataFeeder
+    from tests.make_synth_corpus import make_corpus
+
+    corpus = make_corpus(str(tmp_path / "corpus"), n=6)
+    cfg = load_config("taco1")
+    cfg.parse("batch_size=2,batch_group_size=2")
+    feeder = DataFeeder({"ljspeech": corpus}, cfg,
+                        cache_dir=str(tmp_path / "cache"))
+    cache = DeviceCachedBatches(feeder, n_epoch_variants=2, seed=0)
+    assert cache.n_batches >= 4
+    it = cache.batches()
+    seen = [next(it) for _ in range(2 * cache.n_batches + 1)]
+    shapes = {tuple(b.mel_targets.shape) for b in seen}
+    assert len(shapes) == 1  # uniform -> a single jit program
+    assert all(isinstance(b.inputs, jax.Array) for b in seen)
+    assert seen[0].audio.shape[1] == 8  # waveforms stubbed out of HBM

@@ -75,7 +75,16 @@ def train(log_dir: str, args, cfg) -> None:
     step_fn = build_tacotron_train_step(model, tx, mesh=mesh, schedule=schedule)
     state = create_state(model, tx, jax.random.PRNGKey(args.seed))
 
-    batches = feeder.batches()
+    if args.device_cache:
+        from nspeech_tpu.data.device_cache import DeviceCachedBatches
+
+        cache = DeviceCachedBatches(feeder, n_epoch_variants=args.device_cache,
+                                    seed=args.seed)
+        log("Device-cached %d batches (%.0f MB in HBM); per-step host "
+            "transfer eliminated" % (cache.n_batches, cache.cached_mb))
+        batches = cache.batches()
+    else:
+        batches = feeder.batches()
     preview = [None]  # first batch, captured for artifact dumps
 
     def wrapped_batches():
@@ -146,6 +155,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--slack-url", help="Slack webhook for run reports")
     parser.add_argument("--cache-dir", default=None,
                         help="On-disk feature cache directory")
+    parser.add_argument("--device-cache", type=int, default=0, metavar="N",
+                        help="Small-corpus mode: pin N epoch-variants of "
+                             "batches in device HBM and stream them with "
+                             "no per-step host transfer (0 = stream from "
+                             "host)")
     parser.add_argument("--cmudict-path", default=None,
                         help="cmudict-0.7b file for ARPAbet substitution")
     parser.add_argument("--seed", type=int, default=0)
