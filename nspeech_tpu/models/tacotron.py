@@ -25,6 +25,7 @@ from nspeech_tpu.config import Config
 from nspeech_tpu.models import attention as A
 from nspeech_tpu.models import decoder as D
 from nspeech_tpu.models import modules as M
+from nspeech_tpu.ops import deferred as DF
 from nspeech_tpu.ops import layers as L
 from nspeech_tpu.text.symbols import symbols
 
@@ -102,18 +103,42 @@ class Tacotron1:
 
     # -- decoder step ---------------------------------------------------------
 
-    def _make_step(self, params, keys_mem, values, mask, spk, is_training: bool):
+    def _make_step(self, params, keys_mem, values, mask, spk,
+                   is_training: bool, deferred: bool = False):
         cfg = self.cfg
         att_type = cfg.attention_type
         drop = cfg.drop_rate if is_training else 0.0
 
-        def step(carry, x, rng_t):
+        def step(carry, x, rng_t, zs=None):
             h1, context, align, h2, h3 = carry
             cell_in = jnp.concatenate([x, context], axis=-1)
             pre = L.prenet(params["decoder_prenet"], cell_in, drop, rng_t)
             if spk is not None:
                 s = L.dense(params["spk_prenet"], spk, softsign)
                 pre = jnp.concatenate([pre, s], axis=-1)
+            if deferred:
+                aux = {}
+
+                def gru(name, p, x_in, h):
+                    h_new, xh, xrh = DF.gru_cell_deferred(
+                        p, x_in, h, zs[name + "_gate"], zs[name + "_cand"])
+                    aux[name + "_gate"], aux[name + "_cand"] = xh, xrh
+                    return h_new
+
+                h1 = gru("attn_gru", params["attn_gru"], pre, h1)
+                context, align = A.attention_step(
+                    params["attention"], att_type, h1, align, keys_mem,
+                    values, mask)
+                concat_out = jnp.concatenate([h1, context], axis=-1)
+                proj, aux["out_proj"] = DF.dense_deferred(
+                    params["out_proj"], concat_out, zs["out_proj"])
+                g2 = gru("gru2", params["gru2"], proj, h2)
+                o2 = proj + g2
+                g3 = gru("gru3", params["gru3"], o2, h3)
+                o3 = o2 + g3
+                out, aux["frame_proj"] = DF.dense_deferred(
+                    params["frame_proj"], o3, zs["frame_proj"])
+                return (h1, context, align, g2, g3), (out, align, aux)
             h1 = L.gru_cell(params["attn_gru"], pre, h1)
             context, align = A.attention_step(
                 params["attention"], att_type, h1, align, keys_mem, values, mask)
@@ -127,6 +152,36 @@ class Tacotron1:
             return (h1, context, align, g2, g3), (out, align)
 
         return step
+
+    def deferred_zero_inputs(self, batch: int, steps: int):
+        """Zero per-step injection tensors for deferred-dW training (see
+        ops/deferred.py)."""
+        cfg = self.cfg
+        z = jnp.zeros
+        zs = {}
+        for name, units in (("attn_gru", cfg.attention_dim),
+                            ("gru2", cfg.decoder_dim),
+                            ("gru3", cfg.decoder_dim)):
+            zs[name + "_gate"] = z((steps, batch, 2 * units))
+            zs[name + "_cand"] = z((steps, batch, units))
+        zs["out_proj"] = z((steps, batch, cfg.decoder_dim))
+        zs["frame_proj"] = z((steps, batch,
+                              cfg.num_mels * cfg.outputs_per_step))
+        return zs
+
+    def deferred_param_grads(self, aux, dzs):
+        """Post-hoc {param_name: grads} from the stacked scan activations
+        (aux) and injection cotangents (dzs)."""
+        g = {}
+        for cell in ("attn_gru", "gru2", "gru3"):
+            d = DF.matmul_grads(aux[cell + "_gate"], dzs[cell + "_gate"],
+                                "gate_kernel", "gate_bias")
+            d.update(DF.matmul_grads(aux[cell + "_cand"], dzs[cell + "_cand"],
+                                     "cand_kernel", "cand_bias"))
+            g[cell] = d
+        for name in ("out_proj", "frame_proj"):
+            g[name] = DF.matmul_grads(aux[name], dzs[name])
+        return g
 
     def _decoder_carry0(self, batch: int, t_in: int):
         cfg = self.cfg
@@ -165,6 +220,7 @@ class Tacotron1:
         mel_targets: Optional[jnp.ndarray] = None,  # [N, T_out, M] (training)
         is_training: bool = False,
         rng: Optional[jnp.ndarray] = None,
+        deferred_zs=None,
     ):
         """Returns (outputs dict, new_bn_state). Training mode iff
         mel_targets is given and is_training."""
@@ -182,13 +238,19 @@ class Tacotron1:
         # rows (they are marked finished at t=0 below and emit zeros).
         mask = jnp.arange(t_in)[None, :] < jnp.maximum(input_lengths, 1)[:, None]
 
-        step = self._make_step(params, keys_mem, enc_out, mask, spk, is_training)
+        step = self._make_step(params, keys_mem, enc_out, mask, spk,
+                               is_training, deferred=deferred_zs is not None)
         carry0 = self._decoder_carry0(n, t_in)
 
         lengths = None
+        deferred_aux = None
         if mel_targets is not None:
             inputs = D.teacher_frames(mel_targets, cfg.outputs_per_step)
-            outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
+            if deferred_zs is not None:
+                outs, aligns, deferred_aux = D.scan_teacher_deferred(
+                    step, carry0, inputs, deferred_zs, rng_dec)
+            else:
+                outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
         else:
             outs, aligns, lengths = D.scan_autoregressive(
                 lambda c, x, _r: step(c, x, None), carry0, n, cfg.num_mels,
@@ -211,6 +273,8 @@ class Tacotron1:
         }
         if lengths is not None:
             outputs["decoder_steps"] = lengths
+        if deferred_aux is not None:
+            outputs["deferred_inputs"] = deferred_aux
         new_state = {"encoder_cbhg": enc_state, "post_cbhg": post_state}
         return outputs, new_state
 

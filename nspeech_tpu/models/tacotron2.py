@@ -149,6 +149,12 @@ class Tacotron2:
                              cfg.num_mels * cfg.outputs_per_step)),
         }
 
+    def deferred_param_grads(self, aux, dzs):
+        """Post-hoc {param_name: grads} from the stacked scan activations
+        (aux) and injection cotangents (dzs)."""
+        return {name: DF.matmul_grads(aux[name], dzs[name])
+                for name in ("attn_lstm", "lstm1", "lstm2", "frame_proj")}
+
     def _decoder_carry0(self, batch: int, t_in: int):
         cfg = self.cfg
         z = jnp.zeros

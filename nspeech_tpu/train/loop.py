@@ -83,10 +83,7 @@ def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
                 n, t_out // model.cfg.outputs_per_step)
             (grads, dzs), (metrics, new_bn, cell_ins) = jax.grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(state.params, zs0)
-            from nspeech_tpu.ops.deferred import matmul_grads
-
-            for name, dz in dzs.items():
-                g = matmul_grads(cell_ins[name], dz)
+            for name, g in model.deferred_param_grads(cell_ins, dzs).items():
                 grads[name] = {k: v for k, v in g.items()
                                if k in grads[name]}
         else:

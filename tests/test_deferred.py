@@ -137,3 +137,47 @@ def test_taco2_train_step_deferred_matches_naive():
     assert np.isclose(results[False][1], results[True][1], atol=1e-5)
     assert np.isclose(results[False][2], results[True][2], atol=1e-3)
     _tree_close(results[True][0], results[False][0], atol=2e-5)
+
+
+def test_taco1_train_step_deferred_matches_naive():
+    """Tacotron-1 (GRU decoder): deferred-dW train step matches naive."""
+    from nspeech_tpu.config import load_config
+    from nspeech_tpu.data.feeder import Batch
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.train import create_state, make_optimizer
+    from nspeech_tpu.train.loop import build_tacotron_train_step
+
+    cfg = load_config("taco1")
+    cfg.parse("encoder_cbhg_banks=3,post_cbhg_banks=3,max_iters=4,"
+              "attention_dim=32,decoder_dim=32,embedding_dim=32,batch_size=2")
+    cfg.encoder_prenet = [32, 16]
+    cfg.encoder_cbhg_bank_sizes = [32, 16]
+    cfg.post_cbhg_bank_sizes = [32]
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+
+    rng = np.random.default_rng(5)
+    batch = Batch(
+        inputs=jnp.asarray(rng.integers(2, 40, (2, 11)), jnp.int32),
+        input_lengths=jnp.asarray([11, 8], jnp.int32),
+        speaker_ids=jnp.zeros((2,), jnp.int32),
+        mel_targets=jnp.asarray(rng.random((2, 15, cfg.num_mels)), jnp.float32),
+        linear_targets=jnp.asarray(rng.random((2, 15, cfg.num_freq)), jnp.float32),
+        audio=jnp.zeros((2, 4), jnp.float32),
+    )
+    pad = (-batch.mel_targets.shape[1]) % cfg.outputs_per_step
+    batch = batch._replace(
+        mel_targets=jnp.pad(batch.mel_targets, ((0, 0), (0, pad), (0, 0))),
+        linear_targets=jnp.pad(batch.linear_targets, ((0, 0), (0, pad), (0, 0))))
+
+    results = {}
+    for mode in (False, True):
+        step_fn = build_tacotron_train_step(model, tx, deferred_dw=mode)
+        state = create_state(model, tx, jax.random.PRNGKey(0))
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+        results[mode] = (state.params, float(metrics["loss"]),
+                        float(metrics["grad_norm"]))
+
+    assert np.isclose(results[False][1], results[True][1], atol=1e-5)
+    assert np.isclose(results[False][2], results[True][2], atol=1e-3)
+    _tree_close(results[True][0], results[False][0], atol=2e-5)
