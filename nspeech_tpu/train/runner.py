@@ -53,6 +53,7 @@ def run_training(
     artifact_fn: Optional[Callable] = None,
     restore_step: Optional[int] = None,
     max_recoveries: int = 3,
+    log_interval: int = 1,
 ) -> TrainState:
     """Run the training loop until max_steps (or forever).
 
@@ -61,6 +62,13 @@ def run_training(
     auto-restores from the last good checkpoint up to ``max_recoveries``
     times (the reference documented this as a manual restart procedure,
     README.md:75-80; SURVEY.md §5 calls for automating it), then aborts.
+
+    ``log_interval`` > 1 reads the loss (a device sync) only every N-th
+    step, letting the host keep N dispatches in flight between syncs —
+    the same chained-dispatch discipline the bench uses. Per-step
+    logging (the reference contract) stays the default; the explosion
+    guard then fires at the next sync, and auto-restore from the last
+    good checkpoint covers the intervening steps.
     """
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
     if restore_step is not None or ckpt.latest_step() is not None:
@@ -73,15 +81,25 @@ def run_training(
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
     recoveries = 0
 
+    step = int(state.step)
     try:
         for batch in batches:
             start = time.time()
             data = shard_batch(batch, mesh) if mesh is not None else batch
-            step_rng = (jax.random.fold_in(rng, int(state.step))
+            step_rng = (jax.random.fold_in(rng, step)
                         if rng is not None else None)
             state, metrics = step_fn(state, data, step_rng)
+            step += 1
+            synced = (log_interval <= 1 or step % log_interval == 0
+                      or step % summary_interval == 0
+                      or step % checkpoint_interval == 0
+                      or (max_steps is not None and step >= max_steps))
+            if not synced:
+                # keep dispatching; the device queue absorbs the steps
+                time_window.append(time.time() - start)
+                continue
             loss = float(metrics["loss"])  # device sync point
-            step = int(state.step)
+            assert step == int(state.step)
             time_window.append(time.time() - start)
             loss_window.append(loss)
 
@@ -95,9 +113,10 @@ def run_training(
                 if recoveries < max_recoveries and ckpt.latest_step() is not None:
                     recoveries += 1
                     state = ckpt.restore(state)
+                    step = int(state.step)
                     loss_window.reset()
                     log("Auto-restored from checkpoint step %d "
-                        "(recovery %d/%d)" % (int(state.step), recoveries,
+                        "(recovery %d/%d)" % (step, recoveries,
                                               max_recoveries), slack=True)
                     continue
                 raise RuntimeError("Loss exploded")

@@ -154,3 +154,30 @@ def test_pick_mesh_fallback_is_loud(capsys):
     out = capsys.readouterr().out
     assert "FALLING BACK TO SINGLE-DEVICE" in out
     assert "batch_size=%d" % (n * 2 + 1) in out
+
+
+def test_log_interval_syncs_sparsely(tmp_path, capsys):
+    """log_interval=3: the loss is read (and logged) only at sync steps,
+    max_steps still stops exactly, and an explosion surfaces at the NEXT
+    sync instead of being missed."""
+    log_dir = str(tmp_path / "run")
+    state = run_training(
+        log_dir, make_state(), stub_step([1.0] * 7), batches(),
+        mesh=None, rng=None, checkpoint_interval=100, summary_interval=100,
+        max_steps=7, log_interval=3)
+    assert int(state.step) == 7
+    out = capsys.readouterr().out
+    for step, expect in ((1, False), (2, False), (3, True), (6, True),
+                         (7, True)):
+        assert ("Step %-7d" % step in out) == expect, (step, out)
+
+    # an explosion at an unsynced step is caught at the next sync (in a
+    # real model the NaN propagates through the params, so later losses
+    # are NaN too — the stub mirrors that)
+    nan = float("nan")
+    with pytest.raises(RuntimeError, match="xploded"):
+        run_training(
+            str(tmp_path / "run2"), make_state(),
+            stub_step([1.0, nan, nan, nan, nan, nan]), batches(),
+            mesh=None, rng=None, checkpoint_interval=100,
+            summary_interval=100, max_steps=6, log_interval=3)

@@ -72,6 +72,7 @@ def train_wavenet(log_dir: str, args, cfg) -> None:
         jax.random.PRNGKey(args.seed + 1),
         checkpoint_interval=args.checkpoint_interval,
         summary_interval=args.summary_interval,
+        log_interval=args.log_every,
         max_steps=args.max_steps,
         restore_step=args.restore_step,
     )
@@ -89,6 +90,8 @@ def main() -> None:
     parser.add_argument("--hparams", default="")
     parser.add_argument("--restore-step", type=int)
     parser.add_argument("--summary-interval", type=int, default=1000)
+    parser.add_argument("--log-every", type=int, default=1,
+                        help="Read the loss (a device sync) only every N-th step; dispatches chain in between (bench-style). 1 = reference per-step logging")
     parser.add_argument("--checkpoint-interval", type=int, default=1000)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--slack-url")
