@@ -381,7 +381,13 @@ class WaveNet:
             x = jax.nn.one_hot(code_in, Q, dtype=jnp.float32)
             logits, bufs = self._gen_step(
                 params, x, t, bufs, gc, lc_t if self.lc_channels else None)
-            sample = jax.random.categorical(k, logits / temperature, axis=-1)
+            if temperature <= 0.0:
+                # deterministic argmax decode (first-index tie-break, the
+                # same rule as the Pallas kernel's deterministic path)
+                sample = jnp.argmax(logits, axis=-1)
+            else:
+                sample = jax.random.categorical(
+                    k, logits / temperature, axis=-1)
             sample = sample.astype(jnp.int32)
             return (t + 1, sample, bufs), (sample, logits if return_logits else None)
 

@@ -95,8 +95,9 @@ class Synthesizer:
             wavs = jax.vmap(
                 lambda lin, k: dsp.inv_spectrogram(lin, self.cfg, key=k)
             )(outputs["linear_outputs"], keys)
-            return (wavs, outputs["mel_outputs"],
-                    outputs["linear_outputs"], outputs["alignments"])
+            return (wavs, outputs["mel_outputs"], outputs["linear_outputs"],
+                    outputs["alignments"],
+                    outputs.get("decoder_steps", lengths))
 
         self._forward = jax.jit(forward)
         return self
@@ -129,10 +130,11 @@ class Synthesizer:
         lengths[: len(seqs)] = [len(s) for s in seqs]
         spk = np.zeros((n,), np.int32)
         spk[: len(seqs)] = [max(s, 0) for s in speaker_ids]
-        wavs, mels, lins, aligns = self._forward(
+        wavs, mels, lins, aligns, dec_steps = self._forward(
             jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(spk),
             jax.random.PRNGKey(0))
         self.last_alignment = np.asarray(aligns[0])
+        self.last_decoder_steps = int(np.asarray(dec_steps)[0])
         out_wavs = []
         for i in range(len(texts)):  # drop batch-padding rows
             wav = np.asarray(dsp.inv_preemphasis(wavs[i], self.cfg.preemphasis))

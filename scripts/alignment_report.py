@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Produce the alignment-evidence package for a training run.
+
+Reads a run's ``metrics.jsonl`` and checkpoint and writes, into --out:
+
+- ``sharpness_curve.png`` — attention_sharpness over training steps (the
+  metric that collapses toward 1/T_in when alignment fails, the failure
+  mode the reference documents at README.md:75-89);
+- per-text ``eval-N-align.png`` + ``eval-N.wav`` — AUTOREGRESSIVE
+  (no teacher forcing) synthesis through the serving path;
+- ``report.json`` — final smoothed sharpness plus, per text, the decoder
+  steps used and a monotonicity score of the attention path (fraction of
+  decoder steps whose argmax input position does not move backwards by
+  more than one position).
+
+Usage:
+  python scripts/alignment_report.py --run-dir /tmp/aln_run/aln \
+      --out docs/alignment --text "deep wave tone." [--text ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def sharpness_curve(run_dir: str, out_png: str) -> float:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps, sharp = [], []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            if "attention_sharpness" in row:
+                steps.append(row["step"])
+                sharp.append(row["attention_sharpness"])
+    k = max(1, len(sharp) // 40)
+    smooth = np.convolve(sharp, np.ones(k) / k, mode="valid")
+    fig, ax = plt.subplots(figsize=(7, 3.2))
+    ax.plot(steps, sharp, alpha=0.25, lw=0.8, label="per summary")
+    ax.plot(steps[k - 1:], smooth, lw=1.8, label="smoothed")
+    ax.set_xlabel("training step")
+    ax.set_ylabel("attention sharpness\n(mean max alignment weight)")
+    ax.legend(loc="lower right", frameon=False)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return float(smooth[-1]) if len(smooth) else float("nan")
+
+
+def monotonicity(align: np.ndarray, steps_used: int) -> float:
+    """align [T_in, S]; fraction of voiced decoder steps whose argmax
+    input position moves forward or stays (tolerating 1-position
+    backtrack, which r-frame quantization produces)."""
+    path = np.argmax(align[:, :steps_used], axis=0)
+    if len(path) < 2:
+        return 1.0
+    return float(np.mean(np.diff(path) >= -1))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--run-dir", required=True,
+                        help="log_dir/<run> containing metrics.jsonl + ckpt/")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--text", action="append", default=[])
+    parser.add_argument("--stop-threshold", type=float, default=0.02)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    from nspeech_tpu.utils.platform import set_platform
+
+    set_platform(args.platform)
+    os.makedirs(args.out, exist_ok=True)
+
+    report = {"final_sharpness_smoothed": sharpness_curve(
+        args.run_dir, os.path.join(args.out, "sharpness_curve.png"))}
+
+    if args.text:
+        from nspeech_tpu import dsp
+        from nspeech_tpu.serving import Synthesizer
+        from nspeech_tpu.utils import plot
+
+        ckpt = os.path.join(args.run_dir, "ckpt")
+        synth = Synthesizer.from_checkpoint(
+            ckpt, overrides="stop_threshold=%g" % args.stop_threshold)
+        report["texts"] = []
+        for i, text in enumerate(args.text):
+            wav, mel, _ = synth.synthesize(text)
+            align = synth.last_alignment  # [T_in, S]
+            steps = int(getattr(synth, "last_decoder_steps", align.shape[1]))
+            base = os.path.join(args.out, "eval-%d" % i)
+            dsp.save_wav(wav, base + ".wav", synth.cfg.sample_rate)
+            n_text = len(text) + 1  # + EOS
+            plot.plot_alignment(align[:n_text, :steps + 2],
+                                base + "-align.png",
+                                info="autoregressive: %r" % text)
+            plot.plot_specgram(mel, base + "-mel.png", "mel")
+            report["texts"].append({
+                "text": text,
+                "decoder_steps": steps,
+                "seconds": round(len(wav) / synth.cfg.sample_rate, 2),
+                "monotonicity": round(monotonicity(align[:n_text], steps), 4),
+                "sharpness": round(float(np.mean(np.max(
+                    align[:, :steps], axis=0))), 4),
+            })
+
+    path = os.path.join(args.out, "report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

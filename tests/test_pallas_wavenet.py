@@ -1,6 +1,11 @@
 """Pallas WaveNet sampler: interpret-mode equivalence against the lax.scan
 generator (which itself is proven equivalent to the full network in
-test_models.py), primed and unprimed, with and without global conditioning."""
+test_models.py), primed and unprimed, with and without global conditioning.
+
+These tests compare autoregressive CODE sequences, which are chaotic in
+the inputs: both sides decode with temperature 0 (pure argmax, the same
+first-index tie-break rule in both implementations) and each test uses
+its own fixed-seed rng so inputs never depend on test order."""
 
 import jax
 import jax.numpy as jnp
@@ -20,43 +25,46 @@ def tiny_net(extra=""):
     return WaveNet(cfg)
 
 
-def test_pallas_matches_scan_primed(rng):
+def test_pallas_matches_scan_primed():
+    rng = np.random.default_rng(1234)
     net = tiny_net()
     params = net.init(jax.random.PRNGKey(0))
     seed_codes = jnp.array(rng.integers(0, 128, (1, net.receptive_field + 4)),
                            jnp.int32)
     scan_out = np.asarray(net.generate(
         params, 25, jax.random.PRNGKey(1), batch=1, seed_codes=seed_codes,
-        temperature=1e-5))
+        temperature=0.0))
     pallas_out = np.asarray(generate_pallas(
         net, params, 25, seed_codes=seed_codes, deterministic=True,
         interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
 
 
-def test_pallas_matches_scan_unprimed(rng):
+def test_pallas_matches_scan_unprimed():
+    rng = np.random.default_rng(1234)
     net = tiny_net()
     params = net.init(jax.random.PRNGKey(0))
     scan_out = np.asarray(net.generate(params, 25, jax.random.PRNGKey(1),
-                                       batch=1, temperature=1e-5))
+                                       batch=1, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(net, params, 25,
                                             deterministic=True, interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
 
 
-def test_pallas_global_conditioning(rng):
+def test_pallas_global_conditioning():
+    rng = np.random.default_rng(1234)
     net = tiny_net("gc_channels=4,gc_category_cardinality=3")
     params = net.init(jax.random.PRNGKey(0))
     gc = jnp.array([2], jnp.int32)
     scan_out = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1),
-                                       batch=1, gc_ids=gc, temperature=1e-5))
+                                       batch=1, gc_ids=gc, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(net, params, 20, gc_ids=gc,
                                             deterministic=True, interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
     # different speaker -> (almost surely) different stream
     scan_other = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1),
                                          batch=1, gc_ids=jnp.array([0]),
-                                         temperature=1e-5))
+                                         temperature=0.0))
     assert not np.array_equal(scan_out, scan_other)
 
 
@@ -73,13 +81,14 @@ def test_pack_params_shapes():
     assert "gcside" not in packed  # no gc -> shared bias row only
 
 
-def test_pallas_local_conditioning_matches_scan(rng):
+def test_pallas_local_conditioning_matches_scan():
+    rng = np.random.default_rng(1234)
     net = tiny_net("lc_channels=5")
     params = net.init(jax.random.PRNGKey(0))
     n = 20
     lc = jnp.array(rng.random((1, n, 5)), jnp.float32)
     scan_out = np.asarray(net.generate(params, n, jax.random.PRNGKey(1),
-                                       batch=1, lc=lc, temperature=1e-5))
+                                       batch=1, lc=lc, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(net, params, n, lc=lc,
                                             deterministic=True,
                                             interpret=True))
@@ -98,7 +107,8 @@ def test_pallas_lc_required_when_model_conditioned():
         generate_pallas(net, params, 10, interpret=True)
 
 
-def test_pallas_batched_matches_scan(rng):
+def test_pallas_batched_matches_scan():
+    rng = np.random.default_rng(1234)
     net = tiny_net("gc_channels=4,gc_category_cardinality=3")
     params = net.init(jax.random.PRNGKey(0))
     B = 3
@@ -107,7 +117,7 @@ def test_pallas_batched_matches_scan(rng):
                            jnp.int32)
     scan_out = np.asarray(net.generate(
         params, 20, jax.random.PRNGKey(1), batch=B, gc_ids=gc,
-        seed_codes=seed_codes, temperature=1e-5))
+        seed_codes=seed_codes, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(
         net, params, 20, batch=B, gc_ids=gc, seed_codes=seed_codes,
         deterministic=True, interpret=True))
@@ -117,7 +127,8 @@ def test_pallas_batched_matches_scan(rng):
     assert not np.array_equal(pallas_out[0], pallas_out[1])
 
 
-def test_pallas_batched_local_conditioning_matches_scan(rng):
+def test_pallas_batched_local_conditioning_matches_scan():
+    rng = np.random.default_rng(1234)
     """Vocoding N=4 mel-conditioned streams through ONE kernel chain
     (VERDICT r1 item 7) matches per-stream scan generation."""
     net = tiny_net("lc_channels=5")
@@ -125,14 +136,15 @@ def test_pallas_batched_local_conditioning_matches_scan(rng):
     N, n = 4, 18
     lc = jnp.array(rng.random((N, n, 5)), jnp.float32)
     scan_out = np.asarray(net.generate(params, n, jax.random.PRNGKey(1),
-                                       batch=N, lc=lc, temperature=1e-5))
+                                       batch=N, lc=lc, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(net, params, n, batch=N, lc=lc,
                                             deterministic=True,
                                             interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
 
 
-def test_pallas_batched_lc_with_gc_and_priming(rng):
+def test_pallas_batched_lc_with_gc_and_priming():
+    rng = np.random.default_rng(1234)
     """Batched lc composes with per-stream speakers and priming."""
     net = tiny_net("lc_channels=5,gc_channels=4,gc_category_cardinality=3")
     params = net.init(jax.random.PRNGKey(0))
@@ -143,20 +155,21 @@ def test_pallas_batched_lc_with_gc_and_priming(rng):
     seeds = jnp.array(rng.integers(0, 128, (N, prime)), jnp.int32)
     scan_out = np.asarray(net.generate(
         params, n, jax.random.PRNGKey(1), batch=N, lc=lc, gc_ids=gc,
-        seed_codes=seeds, temperature=1e-5))
+        seed_codes=seeds, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(
         net, params, n, batch=N, lc=lc, gc_ids=gc, seed_codes=seeds,
         deterministic=True, interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
 
 
-def test_pallas_unequal_residual_dilation_channels(rng):
+def test_pallas_unequal_residual_dilation_channels():
+    rng = np.random.default_rng(1234)
     """R != DC exercises the ring_shift path (ring rows are rolled so the
     [s, 1] tail still lands on the v lanes)."""
     net = tiny_net("residual_channels=16")   # DC stays 8 -> ring_shift=8
     params = net.init(jax.random.PRNGKey(0))
     scan_out = np.asarray(net.generate(params, 20, jax.random.PRNGKey(1),
-                                       batch=1, temperature=1e-5))
+                                       batch=1, temperature=0.0))
     pallas_out = np.asarray(generate_pallas(net, params, 20,
                                             deterministic=True,
                                             interpret=True))

@@ -106,15 +106,25 @@ def train(log_dir: str, args, cfg) -> None:
         b = preview[0]
         if b is None:
             return
+        # The LONGEST utterance of the preview batch shows the most
+        # alignment structure (row 0 is arbitrary post-shuffle).
+        i = int(np.argmax(np.asarray(b.input_lengths)))
         lin, mel, align, wav = preview_fn(
-            state.params, state.bn_state, b.inputs[:1], b.input_lengths[:1],
-            b.speaker_ids[:1], b.mel_targets[:1])
+            state.params, state.bn_state, b.inputs[i:i + 1],
+            b.input_lengths[i:i + 1], b.speaker_ids[i:i + 1],
+            b.mel_targets[i:i + 1])
         wav = np.asarray(dsp.inv_preemphasis(wav, cfg.preemphasis))
         wav = wav[: dsp.find_endpoint(wav, cfg)]
         base = os.path.join(log_dir, "step-%06d" % step)
         dsp.save_wav(wav, base + "-audio.wav", cfg.sample_rate)
-        text = sequence_to_text(np.asarray(b.inputs[0]))
-        plot.plot_alignment(np.asarray(align), base + "-align.png",
+        text = sequence_to_text(np.asarray(b.inputs[i]))
+        # Crop padding off the alignment plot: text axis to the real
+        # input length, decoder axis to the frames actually voiced.
+        t_in = int(b.input_lengths[i])
+        s_used = -(-int(np.count_nonzero(
+            np.abs(np.asarray(b.mel_targets[i])).sum(-1))) // cfg.outputs_per_step)
+        plot.plot_alignment(np.asarray(align)[:t_in, :s_used + 2],
+                            base + "-align.png",
                             info="%s, %s, step=%d" % (args.model, time_string(), step))
         plot.plot_wave(wav, cfg.sample_rate, base + "-wav.png", text)
         plot.plot_specgram(np.asarray(lin), base + "-lin.png", "linear")
