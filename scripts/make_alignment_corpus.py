@@ -61,24 +61,39 @@ def _char_freq(c: str) -> float:
 
 def render_char(c: str, dur: float, sample_rate: int,
                 rng: np.random.Generator) -> np.ndarray:
+    """Render one character as a NONSTATIONARY tone.
+
+    A constant tone is predictable from its own previous frames, which
+    lets a decoder drive its loss down with diffuse attention (observed:
+    loss 0.05 with near-uniform alignments). Every frame here depends on
+    character identity instead: the fundamental GLIDES (char-specific
+    direction/rate, so continuation requires knowing which char this is)
+    under a char-specific tremolo, on top of the char-specific harmonic
+    recipe.
+    """
     n = int(dur * sample_rate)
     t = np.arange(n) / sample_rate
     f = _char_freq(c)
     if f == 0.0:
         return 0.004 * rng.standard_normal(n)
     idx = ord(c) - ord("a")
+    # exponential glide f(t) = f * g^(t/dur); g in [0.7, 1.43], char-specific
+    g = 0.7 * (1.43 / 0.7) ** (((idx * 11) % 26) / 25.0)
+    inst_f = f * g ** (t / max(dur, 1e-6))
+    phase = 2 * np.pi * np.cumsum(inst_f) / sample_rate
     # character-specific harmonic recipe (second fingerprint besides f0)
     h2 = 0.5 * ((idx * 7) % 5) / 4.0
     h3 = 0.5 * ((idx * 3) % 5) / 4.0
-    wav = np.sin(2 * np.pi * f * t)
-    wav += h2 * np.sin(2 * np.pi * 2 * f * t)
-    wav += h3 * np.sin(2 * np.pi * 3 * f * t)
+    wav = np.sin(phase) + h2 * np.sin(2 * phase) + h3 * np.sin(3 * phase)
+    # char-specific tremolo (4-12 Hz amplitude modulation)
+    trem = 4.0 + 8.0 * (((idx * 5) % 13) / 12.0)
+    am = 1.0 - 0.35 * np.sin(2 * np.pi * trem * t)
     # attack/release ramps to avoid clicks and give an onset cue
     ramp = min(n // 8, int(0.008 * sample_rate)) or 1
     env = np.ones(n)
     env[:ramp] = np.linspace(0, 1, ramp)
     env[-ramp:] = np.linspace(1, 0, ramp)
-    wav = 0.4 * wav / (1.0 + h2 + h3) * env
+    wav = 0.4 * wav / (1.0 + h2 + h3) * am * env
     return wav + 0.003 * rng.standard_normal(n)
 
 
