@@ -145,6 +145,34 @@ def scan_autoregressive(
     return outs, aligns, steps
 
 
+def guided_attention_penalty(
+    alignments: jnp.ndarray,     # [N, T_in, S]
+    input_lengths: jnp.ndarray,  # [N]
+    out_steps: jnp.ndarray,      # [N] voiced decoder steps per row
+    sigma: float,
+) -> jnp.ndarray:
+    """Guided-attention penalty (Tachibana et al. 2017, arXiv:1710.08969).
+
+    Mean over valid (input, decoder-step) cells of
+    ``A[t, s] * (1 - exp(-(t/T - s/S)^2 / (2 sigma^2)))`` — attention mass
+    far from the diagonal is penalized, pulling the mechanism toward the
+    monotonic regime it then refines on its own. An ADDITION over the
+    reference (opt-in via the ``guided_attention_weight`` hparam, default
+    0.0 = reference parity); standard practice in production Tacotron
+    stacks because unguided alignment can stall on low-entropy corpora.
+    """
+    n, t_in, s = alignments.shape
+    t_norm = jnp.arange(t_in)[None, :, None] / jnp.maximum(
+        input_lengths, 1)[:, None, None]
+    s_norm = jnp.arange(s)[None, None, :] / jnp.maximum(
+        out_steps, 1)[:, None, None]
+    w = 1.0 - jnp.exp(-((t_norm - s_norm) ** 2) / (2.0 * sigma * sigma))
+    valid = ((jnp.arange(t_in)[None, :, None] < input_lengths[:, None, None])
+             & (jnp.arange(s)[None, None, :] < out_steps[:, None, None]))
+    return (jnp.sum(alignments * w * valid)
+            / jnp.maximum(jnp.sum(valid), 1))
+
+
 def assemble_outputs(outs: jnp.ndarray, num_mels: int) -> jnp.ndarray:
     """[S, N, r*M] decoder outputs -> [N, S*r, M] mel frames."""
     s, n, rm = outs.shape

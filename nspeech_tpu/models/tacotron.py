@@ -260,6 +260,15 @@ class Tacotron1:
 
         mel_outputs = D.assemble_outputs(outs, cfg.num_mels)
         alignments = D.assemble_alignments(aligns)
+        guided = None
+        if (is_training and mel_targets is not None
+                and cfg.get("guided_attention_weight", 0.0) > 0.0):
+            voiced = jnp.any(mel_targets != 0.0, axis=-1)
+            out_steps = jnp.ceil(
+                voiced.sum(-1) / cfg.outputs_per_step).astype(jnp.int32)
+            guided = D.guided_attention_penalty(
+                alignments, input_lengths, out_steps,
+                cfg.get("guided_attention_sigma", 0.2))
 
         post_out, post_state = M.cbhg(
             params["post_cbhg"], state["post_cbhg"], self._post_meta,
@@ -275,6 +284,8 @@ class Tacotron1:
             outputs["decoder_steps"] = lengths
         if deferred_aux is not None:
             outputs["deferred_inputs"] = deferred_aux
+        if guided is not None:
+            outputs["guided_attention"] = guided
         new_state = {"encoder_cbhg": enc_state, "post_cbhg": post_state}
         return outputs, new_state
 
@@ -287,9 +298,14 @@ class Tacotron1:
         n_priority = int(3000 / (cfg.sample_rate * 0.5) * cfg.num_freq)
         linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
         loss = mel_loss + linear_loss
-        return loss, {"loss": loss, "loss_mel": mel_loss,
-                      "loss_linear": linear_loss,
-                      "attention_sharpness": _attention_sharpness(outputs)}
+        metrics = {"loss_mel": mel_loss, "loss_linear": linear_loss,
+                   "attention_sharpness": _attention_sharpness(outputs)}
+        if "guided_attention" in outputs:
+            ga = outputs["guided_attention"]
+            loss = loss + cfg.guided_attention_weight * ga
+            metrics["loss_guided_attention"] = ga
+        metrics["loss"] = loss
+        return loss, metrics
 
 
 def _attention_sharpness(outputs) -> jnp.ndarray:

@@ -224,6 +224,15 @@ class Tacotron2:
 
         decoder_out = D.assemble_outputs(outs, cfg.num_mels)
         alignments = D.assemble_alignments(aligns)
+        guided = None
+        if (is_training and mel_targets is not None
+                and cfg.get("guided_attention_weight", 0.0) > 0.0):
+            voiced = jnp.any(mel_targets != 0.0, axis=-1)
+            out_steps = jnp.ceil(
+                voiced.sum(-1) / cfg.outputs_per_step).astype(jnp.int32)
+            guided = D.guided_attention_penalty(
+                alignments, input_lengths, out_steps,
+                cfg.get("guided_attention_sigma", 0.2))
 
         residual, post_state = M.postnet(
             params["postnet"], state["postnet"], decoder_out, is_training)
@@ -243,6 +252,8 @@ class Tacotron2:
             outputs["decoder_steps"] = lengths
         if deferred_aux is not None:
             outputs["deferred_inputs"] = deferred_aux
+        if guided is not None:
+            outputs["guided_attention"] = guided
         new_state = {"encoder": enc_state, "postnet": post_state,
                      "expand": expand_state}
         return outputs, new_state
@@ -258,6 +269,11 @@ class Tacotron2:
         loss = mel_loss + linear_loss
         from nspeech_tpu.models.tacotron import _attention_sharpness
 
-        return loss, {"loss": loss, "loss_mel": mel_loss,
-                      "loss_linear": linear_loss,
-                      "attention_sharpness": _attention_sharpness(outputs)}
+        metrics = {"loss_mel": mel_loss, "loss_linear": linear_loss,
+                   "attention_sharpness": _attention_sharpness(outputs)}
+        if "guided_attention" in outputs:
+            ga = outputs["guided_attention"]
+            loss = loss + cfg.guided_attention_weight * ga
+            metrics["loss_guided_attention"] = ga
+        metrics["loss"] = loss
+        return loss, metrics

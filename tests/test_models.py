@@ -392,3 +392,53 @@ def test_synthesize_batch_padding_rows_stop_at_zero():
     assert np.isfinite(np.asarray(lins)).all()
     for w in wavs:
         assert np.isfinite(w).all()
+
+
+@pytest.mark.smoke
+def test_guided_attention_penalty_prefers_diagonal():
+    from nspeech_tpu.models.decoder import guided_attention_penalty
+
+    n, t_in, s = 1, 8, 8
+    lengths = jnp.array([8])
+    steps = jnp.array([8])
+    diag = jnp.eye(t_in)[None]                       # perfect alignment
+    anti = jnp.eye(t_in)[:, ::-1][None]              # worst case
+    unif = jnp.full((n, t_in, s), 1.0 / t_in)
+    p_diag = float(guided_attention_penalty(diag, lengths, steps, 0.2))
+    p_unif = float(guided_attention_penalty(unif, lengths, steps, 0.2))
+    p_anti = float(guided_attention_penalty(anti, lengths, steps, 0.2))
+    assert p_diag < p_unif < p_anti
+    # masked cells contribute nothing: padding rows/steps change nothing
+    pad = jnp.pad(diag, ((0, 0), (0, 4), (0, 4)))
+    p_pad = float(guided_attention_penalty(pad, lengths, steps, 0.2))
+    np.testing.assert_allclose(p_pad, p_diag, rtol=1e-6)
+
+
+def test_guided_attention_weight_trains(rng):
+    """With guided_attention_weight > 0 the train metrics expose the
+    penalty and one step decreases it."""
+    from nspeech_tpu.data.feeder import Batch
+    from nspeech_tpu.train import create_state, make_optimizer
+    from nspeech_tpu.train.loop import build_tacotron_train_step
+
+    cfg = tiny_taco2()
+    cfg.guided_attention_weight = 10.0
+    cfg.batch_size = 2
+    model = create_model("taco2", cfg)
+    tx, _ = make_optimizer(cfg, "taco2")
+    step_fn = build_tacotron_train_step(model, tx)
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+    batch = Batch(
+        inputs=jnp.asarray(rng.integers(2, 40, (2, 12)), jnp.int32),
+        input_lengths=jnp.asarray([12, 9], jnp.int32),
+        speaker_ids=jnp.zeros((2,), jnp.int32),
+        mel_targets=jnp.asarray(rng.random((2, 20, cfg.num_mels)), jnp.float32),
+        linear_targets=jnp.asarray(rng.random((2, 20, cfg.num_freq)), jnp.float32),
+        audio=jnp.zeros((2, 4), jnp.float32),
+    )
+    losses = []
+    for i in range(3):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        assert "loss_guided_attention" in metrics
+        losses.append(float(metrics["loss_guided_attention"]))
+    assert losses[-1] < losses[0]
