@@ -107,14 +107,27 @@ def render_text(text: str, sample_rate: int,
     return np.clip(np.concatenate(parts), -1.0, 1.0)
 
 
-def make_sentence(rng: np.random.Generator) -> str:
-    n_words = int(rng.integers(3, 9))
-    words = [WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(n_words)]
+def make_sentence(rng: np.random.Generator, style: str = "words") -> str:
+    """``words``: sentences from the 32-word lexicon. ``chars``: RANDOM
+    letter strings — maximum text entropy (~4.7 bits/char), so a long
+    utterance cannot fit through the encoder's fixed-width final states
+    and per-step attention is the only way to know what to say next (the
+    lexicon corpus was observed to train a summary-token shortcut: sharp
+    attention parked on the last encoder positions)."""
+    if style == "chars":
+        n_words = int(rng.integers(8, 14))
+        words = ["".join(chr(ord("a") + int(rng.integers(0, 26)))
+                         for _ in range(int(rng.integers(2, 7))))
+                 for _ in range(n_words)]
+    else:
+        n_words = int(rng.integers(3, 9))
+        words = [WORDS[int(rng.integers(0, len(WORDS)))]
+                 for _ in range(n_words)]
     return " ".join(words) + "."
 
 
 def make_corpus(out_dir: str, n: int = 400, sample_rate: int = 20000,
-                seed: int = 11) -> str:
+                seed: int = 11, style: str = "words") -> str:
     from scipy.io import wavfile
 
     rng = np.random.default_rng(seed)
@@ -123,7 +136,7 @@ def make_corpus(out_dir: str, n: int = 400, sample_rate: int = 20000,
     total_s = 0.0
     for i in range(n):
         utt_id = "ALN%04d" % i
-        text = make_sentence(rng)
+        text = make_sentence(rng, style)
         wav = render_text(text, sample_rate, rng)
         total_s += len(wav) / sample_rate
         wavfile.write(os.path.join(out_dir, "wavs", utt_id + ".wav"),
@@ -141,4 +154,5 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/alignment_corpus"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 11
-    make_corpus(out, n, seed=seed)
+    style = sys.argv[4] if len(sys.argv) > 4 else "words"
+    make_corpus(out, n, seed=seed, style=style)
