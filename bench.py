@@ -6,9 +6,10 @@ default backend (the real TPU when available). Baseline target: 10,000
 frames/sec/chip on v5e (BASELINE.md); ``vs_baseline`` is value/10000.
 
 Also emitted by default: MFU (XLA cost-analysis FLOPs / step time / chip
-peak), sec/step, WaveNet TRAINING throughput, the WaveNet Pallas sampling
+peak), sec/step, WaveNet TRAINING throughput, and — on TPU hosts only
+(the Pallas kernel does not lower on CPU) — the WaveNet Pallas sampling
 rates (single-stream and batch-8 aggregate; target 5x real time per
-BASELINE.md), and the mel-conditioned vocoder rate. Every record carries
+BASELINE.md) plus the mel-conditioned vocoder rate. Every record carries
 the active matmul precision so the numbers are interpretable.
 """
 

@@ -165,6 +165,8 @@ def make_app(synthesizer, cfg):
                                [("Content-Type", "text/plain")])
                 return [b"speaker_ids must be a list of integers "
                         b"matching texts in length"]
+            from nspeech_tpu.serving import ClientError
+
             try:
                 if hasattr(synthesizer, "synthesize_batch"):
                     wavs, _, _ = synthesizer.synthesize_batch(
@@ -173,10 +175,10 @@ def make_app(synthesizer, cfg):
                     wavs = [synthesizer.synthesize(
                         t, (speaker_ids or [-1] * len(texts))[i])[0]
                         for i, t in enumerate(texts)]
-            except ValueError as e:
-                # e.g. the vocoder pipeline rejects mixing explicit
-                # speaker_ids with -1/None in one batch — a client error,
-                # not a server fault.
+            except ClientError as e:
+                # ONLY input-rejection errors (e.g. mixing explicit
+                # speaker_ids with -1/None in one vocoder batch) map to
+                # 400; anything else stays a genuine server fault.
                 start_response("400 Bad Request",
                                [("Content-Type", "text/plain")])
                 return [str(e).encode("utf-8")]
@@ -215,22 +217,20 @@ def main() -> None:
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
-    from nspeech_tpu.train import config_from_checkpoint
-
-    cfg, model_name = config_from_checkpoint(
-        args.checkpoint, args.model or None, args.hparams)
+    overrides = args.hparams
     if args.num_speakers is not None:
-        cfg.num_speakers = args.num_speakers
+        overrides = (overrides + "," if overrides else "") \
+            + "num_speakers=%d" % args.num_speakers
+    synthesizer = Synthesizer.from_checkpoint(
+        args.checkpoint, args.model, overrides, step=args.checkpoint_step)
+    cfg = synthesizer.cfg
     print(config.debug_string(cfg))
-    synthesizer = Synthesizer(cfg)
-    synthesizer.load(args.checkpoint, model_name, step=args.checkpoint_step)
     if args.vocoder_checkpoint:
         from nspeech_tpu.serving import TextToSpeech, WaveNetVocoder
 
-        vcfg, vname = config_from_checkpoint(
+        vocoder = WaveNetVocoder.from_checkpoint(
             args.vocoder_checkpoint, args.vocoder_model,
-            args.vocoder_hparams, default_model="wavenet")
-        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint, vname)
+            args.vocoder_hparams)
         synthesizer = TextToSpeech(synthesizer, vocoder)
     app = make_app(synthesizer, cfg)
     print("Serving on port %d" % args.port)

@@ -59,9 +59,8 @@ def harvard_eval(args, synth, cfg, base_path: str) -> None:
         _synthesize_to(synth, cfg, text, out, args.speaker)
 
 
-def run_eval(args, cfg) -> None:
-    synth = Synthesizer(cfg, text_bucket=args.text_bucket)
-    synth.load(args.checkpoint, args.model, step=args.checkpoint_step)
+def run_eval(args, synth) -> None:
+    cfg = synth.cfg
     step = args.checkpoint_step if args.checkpoint_step is not None else "latest"
     out_dir = args.output_dir or os.path.dirname(args.checkpoint)
     os.makedirs(out_dir, exist_ok=True)
@@ -92,13 +91,14 @@ def main() -> None:
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
-    from nspeech_tpu.train import config_from_checkpoint
-
-    cfg, args.model = config_from_checkpoint(
-        args.checkpoint, args.model or None, args.hparams)
+    overrides = args.hparams
     if args.num_speakers is not None:
-        cfg.num_speakers = args.num_speakers
-    run_eval(args, cfg)
+        overrides = (overrides + "," if overrides else "") \
+            + "num_speakers=%d" % args.num_speakers
+    synth = Synthesizer.from_checkpoint(
+        args.checkpoint, args.model, overrides, step=args.checkpoint_step,
+        text_bucket=args.text_bucket)
+    run_eval(args, synth)
 
 
 if __name__ == "__main__":

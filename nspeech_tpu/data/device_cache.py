@@ -29,7 +29,7 @@ from nspeech_tpu.data.feeder import Batch, DataFeeder
 
 class DeviceCachedBatches:
     def __init__(self, feeder: DataFeeder, n_epoch_variants: int = 4,
-                 seed: int = 0, keep_audio: bool = False):
+                 seed: int = 0, keep_audio: bool = False, mesh=None):
         import jax
 
         host_batches: List[Batch] = []
@@ -57,7 +57,25 @@ class DeviceCachedBatches:
                 linear_targets=np.pad(b.linear_targets,
                                       ((0, 0), (0, df), (0, 0))),
             ))
-        self._batches = [jax.device_put(b) for b in uniform]
+        # Placement: with a data-parallel mesh the batches are pinned
+        # ALREADY SHARDED over the mesh's data axis, so the runner's
+        # per-step shard_batch device_put is a no-op (same sharding).
+        # Multi-host assembly needs per-process host shards every step, so
+        # there the cache stays host-side (it still saves featurization
+        # and padding work, not the transfer).
+        self.device_resident = jax.process_count() == 1
+        if self.device_resident:
+            sharding = None
+            if mesh is not None:
+                from nspeech_tpu.parallel.mesh import batch_sharding
+
+                sharding = batch_sharding(mesh)
+            self._batches = [
+                jax.device_put(b, sharding) if sharding is not None
+                else jax.device_put(b)
+                for b in uniform]
+        else:
+            self._batches = uniform
         self._rng = np.random.default_rng(seed)
         mb = sum(
             sum(x.nbytes for x in b) for b in uniform) / 1e6

@@ -263,9 +263,15 @@ class Tacotron1:
         guided = None
         if (is_training and mel_targets is not None
                 and cfg.get("guided_attention_weight", 0.0) > 0.0):
+            # last VOICED frame index (not a count: interior clipped-
+            # silence frames can be exactly zero and must not shrink the
+            # valid decoder window)
             voiced = jnp.any(mel_targets != 0.0, axis=-1)
+            t_out = mel_targets.shape[1]
+            last = jnp.max(jnp.where(voiced, jnp.arange(t_out)[None, :], -1),
+                           axis=-1)
             out_steps = jnp.ceil(
-                voiced.sum(-1) / cfg.outputs_per_step).astype(jnp.int32)
+                (last + 1) / cfg.outputs_per_step).astype(jnp.int32)
             guided = D.guided_attention_penalty(
                 alignments, input_lengths, out_steps,
                 cfg.get("guided_attention_sigma", 0.2))

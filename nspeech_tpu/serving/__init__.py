@@ -1,4 +1,5 @@
 """Serving: synthesizer and demo HTTP server."""
 
+from nspeech_tpu.serving.errors import ClientError  # noqa: F401
 from nspeech_tpu.serving.pipeline import TextToSpeech, WaveNetVocoder  # noqa: F401
 from nspeech_tpu.serving.synthesizer import Synthesizer  # noqa: F401

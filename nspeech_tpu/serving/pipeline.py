@@ -199,7 +199,9 @@ class TextToSpeech:
             if all(missing):
                 gc = None
             elif any(missing):
-                raise ValueError(
+                from nspeech_tpu.serving.errors import ClientError
+
+                raise ClientError(
                     "synthesize_batch: cannot mix explicit speaker_ids and "
                     "-1/None (unconditioned) in one vocoder batch")
             else:

@@ -84,9 +84,13 @@ def config_from_checkpoint(
         raise ValueError(
             "Checkpoint %r has no run metadata (config.json); pass the "
             "model name explicitly" % ckpt_dir)
+    # Start from the CURRENT YAML defaults and overlay the persisted
+    # hparams: a key added to the YAMLs after the checkpoint was trained
+    # keeps its default instead of vanishing from the serving config
+    # (which would break attribute access and override parsing).
+    cfg = load_config(name)
     if meta is not None:
-        cfg = Config(dict(meta["hparams"]))
-    else:
-        cfg = load_config(name)
+        for key, value in meta["hparams"].items():
+            setattr(cfg, key, value)
     cfg.parse(overrides)
     return cfg, name

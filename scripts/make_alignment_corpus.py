@@ -52,11 +52,14 @@ def _char_base_dur(c: str) -> float:
 
 
 def _char_freq(c: str) -> float:
-    """Distinct base frequency per character, 170-1200 Hz."""
+    """Distinct base frequency per character: 170 Hz ('a') to 1.9 kHz
+    ('z'), ~10% geometric spacing. Capped so the glide (up to 1.43x) and
+    3rd harmonic stay below the 10 kHz Nyquist — aliased harmonics would
+    fold onto other characters' bands and blur the fingerprints."""
     if c == " " or c in ",.?!":
         return 0.0  # rendered as silence/noise
     idx = ord(c) - ord("a")
-    return 170.0 * (1.072 ** (idx * 2.1))  # ~7% spacing, well separable
+    return 170.0 * (1900.0 / 170.0) ** (idx / 25.0)
 
 
 def render_char(c: str, dur: float, sample_rate: int,

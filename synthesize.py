@@ -35,23 +35,22 @@ def main() -> None:
 
     set_platform(args.platform)
 
-    # Prefer the run metadata persisted next to the checkpoint (exact
-    # training-time hparams, incl. the mutated num_speakers) — no manual
+    # Run metadata persisted next to the checkpoint supplies the exact
+    # training-time hparams (incl. the mutated num_speakers) — no manual
     # flag hand-off needed; --hparams/--num-speakers still override.
-    from nspeech_tpu.train import config_from_checkpoint
-
-    cfg, model_name = config_from_checkpoint(
-        args.checkpoint, args.model or None, args.hparams)
+    overrides = args.hparams
     if args.num_speakers is not None:
-        cfg.num_speakers = args.num_speakers
-    synth = Synthesizer(cfg).load(args.checkpoint, model_name)
+        overrides = (overrides + "," if overrides else "") \
+            + "num_speakers=%d" % args.num_speakers
+    synth = Synthesizer.from_checkpoint(args.checkpoint, args.model,
+                                        overrides)
+    cfg = synth.cfg
 
     vocoder = None
     if args.vocoder_checkpoint:
-        vcfg, vname = config_from_checkpoint(
+        vocoder = WaveNetVocoder.from_checkpoint(
             args.vocoder_checkpoint, args.vocoder_model,
-            args.vocoder_hparams, default_model="wavenet")
-        vocoder = WaveNetVocoder(vcfg).load(args.vocoder_checkpoint, vname)
+            args.vocoder_hparams)
 
     tts = TextToSpeech(synth, vocoder)
     wav, mel, lin = tts.synthesize(args.text, args.speaker,

@@ -163,9 +163,11 @@ def test_batch_route_speaker_mix_rejected_as_400():
 
     from demo_server import make_app
 
+    from nspeech_tpu.serving import ClientError
+
     class MixRejectingSynth:
         def synthesize_batch(self, texts, speaker_ids=None):
-            raise ValueError("cannot mix explicit speaker_ids and -1/None")
+            raise ClientError("cannot mix explicit speaker_ids and -1/None")
 
     cfg = micro_cfg()
     app = make_app(MixRejectingSynth(), cfg)

@@ -94,3 +94,22 @@ def test_load_without_model_name_requires_metadata(tmp_path):
     cfg = load_config("taco1")
     with pytest.raises(ValueError, match="run metadata"):
         Synthesizer(cfg).load(str(tmp_path))
+
+
+def test_metadata_merges_over_current_yaml_defaults(tmp_path):
+    """A key added to the YAMLs AFTER a checkpoint was trained keeps its
+    default when serving that checkpoint (the persisted hparams overlay
+    the current defaults, they do not replace them)."""
+    cfg = load_config("taco2")
+    save_run_metadata(str(tmp_path), "taco2", cfg)
+    meta_path = tmp_path / "config.json"
+    import json
+    meta = json.loads(meta_path.read_text())
+    del meta["hparams"]["guided_attention_weight"]  # simulate an old run
+    meta_path.write_text(json.dumps(meta))
+
+    out, _ = config_from_checkpoint(str(tmp_path))
+    assert out.guided_attention_weight == 0.0  # default survives
+    out, _ = config_from_checkpoint(
+        str(tmp_path), overrides="guided_attention_weight=5.0")
+    assert out.guided_attention_weight == 5.0  # and stays overridable

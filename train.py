@@ -79,9 +79,16 @@ def train(log_dir: str, args, cfg) -> None:
         from nspeech_tpu.data.device_cache import DeviceCachedBatches
 
         cache = DeviceCachedBatches(feeder, n_epoch_variants=args.device_cache,
-                                    seed=args.seed)
-        log("Device-cached %d batches (%.0f MB in HBM); per-step host "
-            "transfer eliminated" % (cache.n_batches, cache.cached_mb))
+                                    seed=args.seed, mesh=mesh)
+        if cache.device_resident:
+            log("Device-cached %d batches (%.0f MB in HBM%s); per-step host "
+                "transfer eliminated" % (
+                    cache.n_batches, cache.cached_mb,
+                    ", sharded over the mesh" if mesh is not None else ""))
+        else:
+            log("Host-cached %d prepared batches (%.0f MB; multi-host "
+                "assembly still transfers per step)" % (
+                    cache.n_batches, cache.cached_mb))
         batches = cache.batches()
     else:
         batches = feeder.batches()
@@ -121,8 +128,9 @@ def train(log_dir: str, args, cfg) -> None:
         # Crop padding off the alignment plot: text axis to the real
         # input length, decoder axis to the frames actually voiced.
         t_in = int(b.input_lengths[i])
-        s_used = -(-int(np.count_nonzero(
-            np.abs(np.asarray(b.mel_targets[i])).sum(-1))) // cfg.outputs_per_step)
+        voiced = np.flatnonzero(np.abs(np.asarray(b.mel_targets[i])).sum(-1))
+        last_frame = int(voiced[-1]) + 1 if len(voiced) else 0
+        s_used = -(-last_frame // cfg.outputs_per_step)
         plot.plot_alignment(np.asarray(align)[:t_in, :s_used + 2],
                             base + "-align.png",
                             info="%s, %s, step=%d" % (args.model, time_string(), step))
