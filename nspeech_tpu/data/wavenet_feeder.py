@@ -28,7 +28,13 @@ from nspeech_tpu.data.corpus import Item, build_speaker_map, load_items
 class WaveNetBatch(NamedTuple):
     audio: np.ndarray        # [B, receptive_field + sample_size] float32
     speaker_ids: np.ndarray  # [B] int32
-    mel: np.ndarray          # [B, receptive_field + sample_size, M] float32
+    # mel_phase None: ``mel`` is per-sample [B, window, M] (legacy layout).
+    # mel_phase [B] int32: ``mel`` is FRAME-rate rows [B, F, M] whose first
+    # row is anchored mel_phase[b] samples before the window start; the
+    # train step upsamples on device (ops/upsample.upsample_window) —
+    # ~hop_length x less host->device traffic.
+    mel: np.ndarray
+    mel_phase: Optional[np.ndarray] = None
 
 
 def upsample_frames(frames: np.ndarray, hop_length: int, length: int) -> np.ndarray:
@@ -58,6 +64,7 @@ class WaveNetFeeder:
         shard_index: int = 0,
         shard_count: int = 1,
         seed: int = 0,
+        frame_lc: bool = True,
     ):
         self._cfg = cfg
         self._cache_dir = cache_dir
@@ -67,6 +74,12 @@ class WaveNetFeeder:
         self.window = receptive_field + cfg.sample_size
         self.silence_threshold = cfg.get("silence_threshold", 0.1)
         _, self._hop, _ = stft_params(cfg)
+        # frame_lc: ship frame-rate mel + phase, upsampled on device
+        # (default); False reproduces the legacy per-sample host layout.
+        self.frame_lc = frame_lc
+        # rows needed so the last window sample (phase+window-1 samples
+        # past row 0's anchor) still has an i1 row
+        self.frames_per_window = (self.window + self._hop - 2) // self._hop + 2
 
         items = load_items(input_paths) if isinstance(input_paths, dict) else list(input_paths)
         self.speaker2id = build_speaker_map(items)
@@ -95,14 +108,23 @@ class WaveNetFeeder:
 
         with jax.default_device(_host_cpu_device()):
             _, mel = dsp.spectrograms(wav, self._cfg)
-        mel_samples = upsample_frames(np.asarray(mel), self._hop, len(wav))
+        mel = np.asarray(mel)
+        if not self.frame_lc:
+            mel_samples = upsample_frames(mel, self._hop, len(wav))
         offset = 0
         while len(wav) - offset > self.window:
-            yield (
-                wav[offset: offset + self.window],
-                speaker_id,
-                mel_samples[offset: offset + self.window],
-            )
+            if self.frame_lc:
+                i_start = offset // self._hop
+                phase = offset - i_start * self._hop
+                rows = mel[i_start: i_start + self.frames_per_window]
+                if rows.shape[0] < self.frames_per_window:  # edge-hold pad
+                    pad = self.frames_per_window - rows.shape[0]
+                    rows = np.concatenate(
+                        [rows, np.repeat(rows[-1:], pad, axis=0)], axis=0)
+                lc = (rows, phase)
+            else:
+                lc = (mel_samples[offset: offset + self.window], None)
+            yield (wav[offset: offset + self.window], speaker_id) + lc
             offset += self.sample_size
 
     def batches(self) -> Iterator[WaveNetBatch]:
@@ -112,19 +134,24 @@ class WaveNetFeeder:
         buf_audio: list = []
         buf_spk: list = []
         buf_mel: list = []
+        buf_phase: list = []
         while True:
             rng = np.random.default_rng((self._seed, epoch))
             order = rng.permutation(len(self._items))
             for i in order:
-                for audio, spk, mel in self._utterance_windows(self._items[i]):
+                for audio, spk, mel, phase in self._utterance_windows(
+                        self._items[i]):
                     buf_audio.append(audio)
                     buf_spk.append(spk)
                     buf_mel.append(mel)
+                    buf_phase.append(phase)
                     if len(buf_audio) == cfg.batch_size:
                         yield WaveNetBatch(
                             np.stack(buf_audio).astype(np.float32),
                             np.asarray(buf_spk, dtype=np.int32),
                             np.stack(buf_mel).astype(np.float32),
+                            (np.asarray(buf_phase, dtype=np.int32)
+                             if self.frame_lc else None),
                         )
-                        buf_audio, buf_spk, buf_mel = [], [], []
+                        buf_audio, buf_spk, buf_mel, buf_phase = [], [], [], []
             epoch += 1

@@ -23,21 +23,10 @@ from nspeech_tpu import dsp
 from nspeech_tpu.serving.synthesizer import Synthesizer
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _upsample_on_device(mels: jnp.ndarray, hop: int, length: int) -> jnp.ndarray:
-    """[N, T_frames, M] -> [N, length, M] on device; matches
-    data.wavenet_feeder.upsample_frames (np.interp: anchors at t*hop,
-    linear between, edge values held). Shipping the FRAME-rate mel and
-    upsampling on device keeps the host->device transfer ~hop times
-    smaller — the upsampled array is ~2.5KB/sample/stream, which would
-    dominate wall-clock on a thin link."""
-    t_frames = mels.shape[1]
-    pos = jnp.arange(length) / hop
-    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t_frames - 1)
-    i1 = jnp.clip(i0 + 1, 0, t_frames - 1)
-    w = (pos - i0.astype(jnp.float32))[None, :, None]
-    return (jnp.take(mels, i0, axis=1) * (1.0 - w)
-            + jnp.take(mels, i1, axis=1) * w)
+# Shipping the FRAME-rate mel and upsampling on device keeps the
+# host->device transfer ~hop times smaller — the upsampled array is
+# ~2.5KB/sample/stream, which would dominate wall-clock on a thin link.
+from nspeech_tpu.ops.upsample import upsample_on_device as _upsample_on_device
 
 
 class WaveNetVocoder:

@@ -112,10 +112,22 @@ def build_wavenet_train_step(net, optimizer, cfg: Config, mesh=None,
         del rng  # WaveNet training is deterministic
 
         def loss_fn(params):
+            lc = None
+            if use_lc:
+                lc = batch.mel
+                if getattr(batch, "mel_phase", None) is not None:
+                    # frame-rate mels + per-window phase: upsample on
+                    # device (~hop x less host->device traffic)
+                    from nspeech_tpu.config import stft_params
+                    from nspeech_tpu.ops.upsample import upsample_window
+
+                    _, hop, _ = stft_params(cfg)
+                    lc = upsample_window(batch.mel, batch.mel_phase, hop,
+                                         batch.audio.shape[1])
             logits, targets = net.forward_train(
                 params, batch.audio,
                 gc_ids=batch.speaker_ids if use_gc else None,
-                lc=batch.mel if use_lc else None)
+                lc=lc)
             loss, metrics = net.loss(logits, targets, params=params,
                                      l2_strength=l2_strength)
             return loss, metrics

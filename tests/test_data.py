@@ -135,12 +135,14 @@ def test_wavenet_feeder_windows(corpus):
     cfg = load_config("wavenet")
     cfg.parse("batch_size=3,sample_size=1000")
     receptive_field = 1026  # small synthetic RF for the test
-    feeder = WaveNetFeeder({"ljspeech": corpus}, receptive_field, cfg)
+    feeder = WaveNetFeeder({"ljspeech": corpus}, receptive_field, cfg,
+                           frame_lc=False)  # legacy per-sample lc layout
     it = feeder.batches()
     b = next(it)
     W = receptive_field + 1000
     assert b.audio.shape == (3, W)
     assert b.mel.shape == (3, W, 80)
+    assert b.mel_phase is None
     assert b.speaker_ids.shape == (3,)
     # Left padding: first window of each utterance starts with RF zeros.
     assert np.all(b.audio[0, :receptive_field] == 0)
@@ -228,3 +230,41 @@ def test_device_cached_batches(tmp_path):
     assert len(shapes) == 1  # uniform -> a single jit program
     assert all(isinstance(b.inputs, jax.Array) for b in seen)
     assert seen[0].audio.shape[1] == 8  # waveforms stubbed out of HBM
+
+
+def test_frame_lc_matches_per_sample_lc(corpus):
+    """The default frame-rate lc layout, upsampled ON DEVICE with the
+    per-window phase, reproduces the legacy host per-sample layout
+    exactly (same windows, same values)."""
+    import jax.numpy as jnp
+
+    from nspeech_tpu.config import stft_params
+    from nspeech_tpu.ops.upsample import upsample_window
+
+    cfg = load_config("wavenet")
+    cfg.parse("batch_size=3,sample_size=1000")
+    rf = 1026
+    legacy = WaveNetFeeder({"ljspeech": corpus}, rf, cfg, frame_lc=False)
+    framed = WaveNetFeeder({"ljspeech": corpus}, rf, cfg, frame_lc=True)
+    _, hop, _ = stft_params(cfg)
+    W = rf + 1000
+    it_l, it_f = legacy.batches(), framed.batches()
+    for _ in range(3):
+        bl, bf = next(it_l), next(it_f)
+        np.testing.assert_array_equal(bl.audio, bf.audio)
+        assert bf.mel.shape[1] == framed.frames_per_window
+        up = np.asarray(upsample_window(
+            jnp.asarray(bf.mel), jnp.asarray(bf.mel_phase), hop, W))
+        np.testing.assert_allclose(up, bl.mel, atol=2e-5)
+
+
+def test_upsample_on_device_matches_host(rng):
+    from nspeech_tpu.data.wavenet_feeder import upsample_frames
+    from nspeech_tpu.ops.upsample import upsample_on_device
+
+    frames = rng.random((2, 7, 3)).astype(np.float32)
+    hop, length = 5, 40
+    dev = np.asarray(upsample_on_device(frames, hop, length))
+    for n in range(2):
+        host = upsample_frames(frames[n], hop, length)
+        np.testing.assert_allclose(dev[n], host, atol=1e-6)
