@@ -166,7 +166,11 @@ def init_conv_and_lstm(key, in_dim: int, conv_layers: int, conv_width: int,
     return params, {"convs": conv_s}, {"lstm_units": lstm_units}
 
 
-def conv_and_lstm(params, state, meta, x, lengths, is_training: bool):
+def conv_and_lstm(params, state, meta, x, lengths, is_training: bool,
+                  z=None):
+    """``z`` ([T, 2N, 4*units] zeros) enables deferred recurrent-kernel
+    gradients in the BiLSTM (ops/deferred.py); the return gains a third
+    element, the stacked entry hidden states for ``bilstm_wh_grads``."""
     new_conv_s = []
     n = len(params["convs"])
     for i, (p, s) in enumerate(zip(params["convs"], state["convs"])):
@@ -174,6 +178,10 @@ def conv_and_lstm(params, state, meta, x, lengths, is_training: bool):
         x, ns = L.conv_bn(p, s, x, act, is_training)
         new_conv_s.append(ns)
     units = meta["lstm_units"]
+    if z is not None:
+        out, h_entry = L.bilstm_rnn(params["lstm_fw"], params["lstm_bw"],
+                                    x, lengths, units, z=z)
+        return out, {"convs": new_conv_s}, h_entry
     out = L.bilstm_rnn(params["lstm_fw"], params["lstm_bw"], x, lengths,
                        units)
     return out, {"convs": new_conv_s}

@@ -153,9 +153,14 @@ class Tacotron1:
 
         return step
 
-    def deferred_zero_inputs(self, batch: int, steps: int):
+    def deferred_zero_inputs(self, batch: int, steps: int,
+                             t_in: int = None, t_out: int = None):
         """Zero per-step injection tensors for deferred-dW training (see
-        ops/deferred.py)."""
+        ops/deferred.py). ``t_in``/``t_out`` are accepted for train-loop
+        signature parity with Tacotron-2; the CBHG BiGRUs keep the naive
+        scan transpose (their recurrent kernels are [128, ...] — the
+        accumulator RMW is not a measurable cost)."""
+        del t_in, t_out
         cfg = self.cfg
         z = jnp.zeros
         zs = {}
@@ -182,6 +187,13 @@ class Tacotron1:
         for name in ("out_proj", "frame_proj"):
             g[name] = DF.matmul_grads(aux[name], dzs[name])
         return g
+
+    def deferred_merge_grads(self, grads, aux, dzs):
+        """Fill the stop_gradient'ed weight grads in ``grads`` from the
+        stacked scan activations (aux) and injection cotangents (dzs)."""
+        for name, g in self.deferred_param_grads(aux, dzs).items():
+            grads[name] = {k: v for k, v in g.items() if k in grads[name]}
+        return grads
 
     def _decoder_carry0(self, batch: int, t_in: int):
         cfg = self.cfg

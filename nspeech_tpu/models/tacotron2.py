@@ -135,25 +135,49 @@ class Tacotron2:
 
         return step
 
-    def deferred_zero_inputs(self, batch: int, steps: int):
+    def deferred_zero_inputs(self, batch: int, steps: int,
+                             t_in: int = None, t_out: int = None):
         """Zero per-step injection tensors for deferred-dW training (see
         ops/deferred.py): one [S, N, out] array per in-scan matmul whose
-        weight gradient is accumulated post-hoc."""
+        weight gradient is accumulated post-hoc. ``t_in``/``t_out``
+        additionally defer the encoder/expand BiLSTM recurrent kernels
+        (those scans run at text/frame rate, not decoder rate)."""
         cfg = self.cfg
         z = jnp.zeros
-        return {
+        zs = {
             "attn_lstm": z((steps, batch, 4 * cfg.attention_dim)),
             "lstm1": z((steps, batch, 4 * cfg.decoder_lstm_units)),
             "lstm2": z((steps, batch, 4 * cfg.decoder_lstm_units)),
             "frame_proj": z((steps, batch,
                              cfg.num_mels * cfg.outputs_per_step)),
         }
+        if t_in is not None:
+            zs["encoder_lstm"] = z(
+                (t_in, 2 * batch, 4 * cfg.encoder_lstm_units))
+        if t_out is not None:
+            zs["expand_lstm"] = z(
+                (t_out, 2 * batch, 4 * cfg.expand_lstm_units))
+        return zs
 
-    def deferred_param_grads(self, aux, dzs):
-        """Post-hoc {param_name: grads} from the stacked scan activations
-        (aux) and injection cotangents (dzs)."""
-        return {name: DF.matmul_grads(aux[name], dzs[name])
-                for name in ("attn_lstm", "lstm1", "lstm2", "frame_proj")}
+    def deferred_merge_grads(self, grads, aux, dzs):
+        """Fill the stop_gradient'ed weight grads in ``grads`` from the
+        stacked scan activations (aux) and injection cotangents (dzs)."""
+        for name in ("attn_lstm", "lstm1", "lstm2", "frame_proj"):
+            g = DF.matmul_grads(aux[name], dzs[name])
+            grads[name] = {k: v for k, v in g.items() if k in grads[name]}
+        for comp in ("encoder", "expand"):
+            key = comp + "_lstm"
+            if key not in dzs:
+                continue
+            for d, dwh in zip(("lstm_fw", "lstm_bw"),
+                              DF.bilstm_wh_grads(aux[key], dzs[key])):
+                k = grads[comp][d]["kernel"]
+                # last H rows (the recurrent block) are exactly zero under
+                # stop_gradient; the input rows/bias got natural grads
+                # through the hoisted projection.
+                grads[comp][d]["kernel"] = (
+                    k.at[-dwh.shape[0]:].set(dwh.astype(k.dtype)))
+        return grads
 
     def _decoder_carry0(self, batch: int, t_in: int):
         cfg = self.cfg
@@ -194,9 +218,16 @@ class Tacotron2:
         spk = None
         if self.multi_speaker:
             spk = jnp.take(params["speaker_embed"]["table"], speaker_ids, axis=0)
-        enc_out, enc_state = M.conv_and_lstm(
-            params["encoder"], state["encoder"], self._enc_meta,
-            embedded, input_lengths, is_training)
+        enc_z = None if deferred_zs is None else deferred_zs.get("encoder_lstm")
+        extra_aux = {}
+        if enc_z is not None:
+            enc_out, enc_state, extra_aux["encoder_lstm"] = M.conv_and_lstm(
+                params["encoder"], state["encoder"], self._enc_meta,
+                embedded, input_lengths, is_training, z=enc_z)
+        else:
+            enc_out, enc_state = M.conv_and_lstm(
+                params["encoder"], state["encoder"], self._enc_meta,
+                embedded, input_lengths, is_training)
 
         keys_mem = A.prepare_memory(params["attention"], enc_out)
         # max(len, 1) keeps the softmax finite for length-0 batch-padding
@@ -211,8 +242,12 @@ class Tacotron2:
         if mel_targets is not None:
             inputs = D.teacher_frames(mel_targets, cfg.outputs_per_step)
             if deferred_zs is not None:
+                # only decoder-rate injections ride the decoder scan; the
+                # encoder/expand BiLSTM entries run at text/frame rate
+                dec_zs = {k: v for k, v in deferred_zs.items()
+                          if k not in ("encoder_lstm", "expand_lstm")}
                 outs, aligns, deferred_aux = D.scan_teacher_deferred(
-                    step, carry0, inputs, deferred_zs, rng_dec)
+                    step, carry0, inputs, dec_zs, rng_dec)
             else:
                 outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
         else:
@@ -244,9 +279,16 @@ class Tacotron2:
             params["postnet"], state["postnet"], decoder_out, is_training)
         mel_outputs = decoder_out + residual
 
-        expand_out, expand_state = M.conv_and_lstm(
-            params["expand"], state["expand"], self._expand_meta,
-            mel_outputs, None, is_training)
+        exp_z = None if deferred_zs is None else deferred_zs.get("expand_lstm")
+        if exp_z is not None:
+            expand_out, expand_state, extra_aux["expand_lstm"] = (
+                M.conv_and_lstm(
+                    params["expand"], state["expand"], self._expand_meta,
+                    mel_outputs, None, is_training, z=exp_z))
+        else:
+            expand_out, expand_state = M.conv_and_lstm(
+                params["expand"], state["expand"], self._expand_meta,
+                mel_outputs, None, is_training)
         linear_outputs = L.dense(params["linear_proj"], expand_out)
 
         outputs = {
@@ -257,7 +299,7 @@ class Tacotron2:
         if lengths is not None:
             outputs["decoder_steps"] = lengths
         if deferred_aux is not None:
-            outputs["deferred_inputs"] = deferred_aux
+            outputs["deferred_inputs"] = {**deferred_aux, **extra_aux}
         if guided is not None:
             outputs["guided_attention"] = guided
         new_state = {"encoder": enc_state, "postnet": post_state,

@@ -95,6 +95,26 @@ def gru_cell_deferred(
     return u * h + (1.0 - u) * cand, xh, xrh
 
 
+def bilstm_wh_grads(h_entry: jnp.ndarray,
+                    dz: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Post-hoc recurrent-kernel grads for the fused one-scan BiLSTM
+    (ops.layers.bilstm_rnn with ``z``).
+
+    ``h_entry`` [T, 2N, H] (entry hidden states; first N rows forward,
+    last N backward) and ``dz`` [T, 2N, 4H] (stacked injection
+    cotangents) -> ``(dwh_fw, dwh_bw)``, each [H, 4H], via one
+    accumulating matmul per direction. These are the LAST H rows of each
+    direction's [C+H, 4H] kernel; the first C rows (input projection) and
+    the biases get natural gradients through the hoisted batched matmul.
+    """
+    t, two_n, h = h_entry.shape
+    hs = h_entry.reshape(t, 2, two_n // 2, h)
+    dzs = dz.reshape(t, 2, two_n // 2, -1)
+    dwh = jnp.einsum("tgnh,tgnz->ghz", hs, dzs,
+                     preferred_element_type=jnp.float32)
+    return dwh[0], dwh[1]
+
+
 def matmul_grads(inputs: jnp.ndarray, dz: jnp.ndarray,
                  kernel: str = "kernel", bias: str = "bias") -> Params:
     """Post-hoc weight grads from stacked scan sequences.

@@ -351,14 +351,31 @@ def _unstack_directions(ys, lengths):
 
 def bilstm_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
                lengths: Optional[jnp.ndarray], units: int,
-               forget_bias: float = 1.0) -> jnp.ndarray:
-    """Bidirectional LSTM over [N, T, C] -> [N, T, 2*units], one scan."""
+               forget_bias: float = 1.0, z: Optional[jnp.ndarray] = None):
+    """Bidirectional LSTM over [N, T, C] -> [N, T, 2*units], one scan.
+
+    The input projection (``wx`` rows of the kernels, plus biases) is
+    hoisted out of the scan as one batched matmul; only the recurrent
+    ``h @ wh`` runs per step.
+
+    ``z`` ([T, 2N, 4*units] zeros) switches on deferred weight gradients
+    for the recurrent kernels (ops/deferred.py): ``wh`` enters the scan
+    under ``stop_gradient`` with ``z_t`` injected into the pre-activation,
+    and the entry hidden state is emitted per step, so the scan transpose
+    writes stacked ``dz_t`` instead of read-modify-writing the full
+    [units, 4*units] accumulators. Returns ``(out, h_entry)`` with
+    ``h_entry`` [T, 2N, units]; recover the grads with
+    ``deferred.bilstm_wh_grads(h_entry, dz)``.
+    """
     N, T, C = x.shape
     x2 = _stack_directions(x, lengths)                       # [2N, T, C]
     # hoisted input projection, per direction (bias folded in)
     wx = jnp.stack([params_fw["kernel"][:C], params_bw["kernel"][:C]])
     wh = jnp.stack([params_fw["kernel"][C:], params_bw["kernel"][C:]])
     b = jnp.stack([params_fw["bias"], params_bw["bias"]])    # [2, 4H]
+    deferred = z is not None
+    if deferred:
+        wh = jax.lax.stop_gradient(wh)
     xz = jnp.einsum("gntc,gcz->gntz", x2.reshape(2, N, T, C), wx,
                     preferred_element_type=jnp.float32) + b[:, None, None]
     xz = jnp.moveaxis(xz.reshape(2 * N, T, 4 * units), 1, 0)  # [T, 2N, 4H]
@@ -367,12 +384,14 @@ def bilstm_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
         jnp.concatenate([mask, mask], axis=0), 1, 0)          # [T, 2N]
 
     def step(state, inp):
-        zt, mt = inp
+        zt, mt, inj = inp
         c, h = state
         hz = jnp.einsum("gnh,ghz->gnz", h.reshape(2, N, units), wh,
                         preferred_element_type=jnp.float32)
-        z = zt + hz.reshape(2 * N, 4 * units)
-        i, g, f, o = jnp.split(z, 4, axis=-1)
+        pre = zt + hz.reshape(2 * N, 4 * units)
+        if inj is not None:
+            pre = pre + inj
+        i, g, f, o = jnp.split(pre, 4, axis=-1)
         new_c = (jax.nn.sigmoid(f + forget_bias) * c
                  + jax.nn.sigmoid(i) * jnp.tanh(g))
         new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
@@ -381,11 +400,15 @@ def bilstm_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
             new_c = jnp.where(mt[:, None], new_c, c)
             new_h = jnp.where(mt[:, None], new_h, h)
             out = jnp.where(mt[:, None], out, 0.0)
-        return (new_c, new_h), out
+        ys = (out, h) if inj is not None else out
+        return (new_c, new_h), ys
 
     state0 = (jnp.zeros((2 * N, units), x.dtype),
               jnp.zeros((2 * N, units), x.dtype))
-    _, ys = jax.lax.scan(step, state0, (xz, mask2))
+    _, ys = jax.lax.scan(step, state0, (xz, mask2, z))
+    if deferred:
+        ys, h_entry = ys
+        return _unstack_directions(jnp.moveaxis(ys, 0, 1), lengths), h_entry
     return _unstack_directions(jnp.moveaxis(ys, 0, 1), lengths)
 
 

@@ -80,12 +80,11 @@ def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
         if deferred_dw:
             n, t_out = batch.mel_targets.shape[:2]
             zs0 = model.deferred_zero_inputs(
-                n, t_out // model.cfg.outputs_per_step)
+                n, t_out // model.cfg.outputs_per_step,
+                t_in=batch.inputs.shape[1], t_out=t_out)
             (grads, dzs), (metrics, new_bn, cell_ins) = jax.grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(state.params, zs0)
-            for name, g in model.deferred_param_grads(cell_ins, dzs).items():
-                grads[name] = {k: v for k, v in g.items()
-                               if k in grads[name]}
+            grads = model.deferred_merge_grads(grads, cell_ins, dzs)
         else:
             grads, (metrics, new_bn, _) = jax.grad(
                 loss_fn, has_aux=True)(state.params, None)

@@ -88,6 +88,41 @@ def test_deferred_gru_scan_grads_match_naive():
     _tree_close(g_post, g_naive, atol=1e-5)
 
 
+@pytest.mark.smoke
+def test_deferred_bilstm_wh_grads_match_naive():
+    """Fused one-scan BiLSTM: deferred recurrent-kernel grads (injection +
+    post-hoc bilstm_wh_grads) == naive transpose, under length masking."""
+    N, T, C, H = 3, 9, 5, 4
+    rng = np.random.default_rng(7)
+    p_fw = L.init_lstm(jax.random.PRNGKey(11), C, H)
+    p_bw = L.init_lstm(jax.random.PRNGKey(12), C, H)
+    x = jnp.asarray(rng.standard_normal((N, T, C)), jnp.float32)
+    lengths = jnp.asarray([9, 6, 3], jnp.int32)
+
+    def loss_naive(ps):
+        out = L.bilstm_rnn(ps[0], ps[1], x, lengths, H)
+        return jnp.sum(jnp.sin(out) * out)
+
+    def loss_deferred(ps, z):
+        out, h_entry = L.bilstm_rnn(ps[0], ps[1], x, lengths, H, z=z)
+        return jnp.sum(jnp.sin(out) * out), h_entry
+
+    g_naive = jax.grad(loss_naive)((p_fw, p_bw))
+    z0 = jnp.zeros((T, 2 * N, 4 * H))
+    (gp, dz), h_entry = jax.grad(loss_deferred, argnums=(0, 1),
+                                 has_aux=True)((p_fw, p_bw), z0)
+    # recurrent rows are exactly zero under stop_gradient; input rows and
+    # biases keep their natural grads through the hoisted projection
+    for g in gp:
+        assert float(jnp.abs(g["kernel"][C:]).max()) == 0.0
+    dwh_fw, dwh_bw = DF.bilstm_wh_grads(h_entry, dz)
+    merged = (
+        {"kernel": gp[0]["kernel"].at[C:].set(dwh_fw), "bias": gp[0]["bias"]},
+        {"kernel": gp[1]["kernel"].at[C:].set(dwh_bw), "bias": gp[1]["bias"]},
+    )
+    _tree_close(merged, g_naive, atol=1e-5)
+
+
 def test_taco2_train_step_deferred_matches_naive():
     """The full jitted Tacotron-2 train step produces the same updated
     parameters with and without deferred-dW."""
