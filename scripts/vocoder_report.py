@@ -1,0 +1,230 @@
+"""Evidence report for a TRAINED WaveNet vocoder: ground-truth-mel copy
+synthesis plus the full text -> Tacotron -> WaveNet pipeline.
+
+The alignment evidence (docs/alignment/) shows the acoustic model learns
+attention; this report closes the loop on the second trained model. Two
+measurements:
+
+1. **Copy synthesis** (vocoder quality in isolation): take corpus
+   utterances, compute their mels on device (dsp.spectrograms), vocode
+   with the trained WaveNet, and compare the mel of the GENERATED wav
+   against the conditioning mel (L1 in the normalized mel domain, plus
+   dominant-frequency tracking agreement). This is independent of the
+   acoustic model.
+2. **End-to-end pipeline** (text -> wav through BOTH trained models):
+   serving.TextToSpeech with the trained Tacotron-2 + trained WaveNet;
+   reports the same mel-consistency metric of the WaveNet wav against
+   the Tacotron-predicted mel, side by side with the Griffin-Lim route.
+
+Also renders the vocoder training-loss curve from the run's
+metrics.jsonl and mel comparison figures.
+
+Usage (runs on the real chip; the Pallas sampler drives generation):
+    python scripts/vocoder_report.py \
+        --taco-run /tmp/aln_v3g/aln --wavenet-run /tmp/wn_aln/wn_aln \
+        --corpus /tmp/aln_v3 --out docs/vocoder
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dominant_freq_track(wav: np.ndarray, sr: int, frame: int = 1024,
+                        hop: int = 256) -> np.ndarray:
+    """Per-frame dominant frequency (Hz) via FFT peak — the corpus is
+    built from tones, so the dominant bin is the signal identity."""
+    n = (len(wav) - frame) // hop
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+    out = np.zeros(max(n, 0), np.float32)
+    for i in range(max(n, 0)):
+        seg = wav[i * hop: i * hop + frame] * np.hanning(frame)
+        mag = np.abs(np.fft.rfft(seg))
+        out[i] = freqs[int(np.argmax(mag))]
+    return out
+
+
+def track_agreement(a: np.ndarray, b: np.ndarray, tol_hz: float = 50.0):
+    """Fraction of frames whose dominant frequencies agree within tol."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0.0
+    return float(np.mean(np.abs(a[:n] - b[:n]) <= tol_hz))
+
+
+def mel_l1(wav: np.ndarray, ref_mel: np.ndarray, cfg) -> float:
+    """L1 between the mel of ``wav`` and ``ref_mel`` (both [T, M] in the
+    framework's normalized [0, 1] mel domain), over the overlap."""
+    from nspeech_tpu import dsp
+
+    _, mel = dsp.spectrograms(np.asarray(wav, np.float32), cfg)
+    mel = np.asarray(mel)
+    t = min(len(mel), len(ref_mel))
+    return float(np.mean(np.abs(mel[:t] - np.asarray(ref_mel)[:t])))
+
+
+def plot_mel_panel(path: str, panels, sr_frames: float):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(len(panels), 1,
+                             figsize=(10, 2.2 * len(panels)), sharex=True)
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, (title, mel) in zip(axes, panels):
+        ax.imshow(np.asarray(mel).T, origin="lower", aspect="auto",
+                  interpolation="nearest")
+        ax.set_title(title, fontsize=9)
+        ax.set_ylabel("mel bin")
+    axes[-1].set_xlabel("frame")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def plot_loss_curve(metrics_path: str, out_path: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps, losses = [], []
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "loss" in rec:
+                steps.append(rec["step"])
+                losses.append(rec["loss"])
+    fig, ax = plt.subplots(figsize=(7, 3))
+    ax.plot(steps, losses, lw=0.8)
+    ax.axhline(np.log(256.0), color="gray", ls="--", lw=0.8,
+               label="uniform (ln 256)")
+    ax.set_xlabel("step")
+    ax.set_ylabel("NLL (nats/sample)")
+    ax.set_title("WaveNet vocoder training loss")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return steps[-1] if steps else None, losses[-1] if losses else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--taco-run", required=True,
+                    help="Tacotron run dir (contains ckpt/)")
+    ap.add_argument("--wavenet-run", required=True,
+                    help="WaveNet run dir (contains ckpt/ and metrics.jsonl)")
+    ap.add_argument("--corpus", required=True,
+                    help="LJSpeech-layout corpus dir for copy synthesis")
+    ap.add_argument("--out", default="docs/vocoder")
+    ap.add_argument("--n-copy", type=int, default=2,
+                    help="corpus utterances for copy synthesis")
+    ap.add_argument("--copy-seconds", type=float, default=3.0,
+                    help="seconds of audio per copy-synthesis utterance")
+    ap.add_argument("--texts", nargs="*", default=[
+        "pqoc fjel azrv kmds wuh.",
+        "tbi znogu chwad lyrfe qvk sjmp.",
+    ])
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="0 = argmax sampling (tones are deterministic)")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from nspeech_tpu import dsp
+    from nspeech_tpu.serving.pipeline import TextToSpeech, WaveNetVocoder
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+
+    voc = WaveNetVocoder.from_checkpoint(os.path.join(args.wavenet_run, "ckpt"))
+    cfg = voc.cfg
+    report = {"temperature": args.temperature}
+
+    # -- training curve ----------------------------------------------------
+    metrics_path = os.path.join(args.wavenet_run, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        step, loss = plot_loss_curve(
+            metrics_path, os.path.join(args.out, "wavenet_loss.png"))
+        report["train_final_step"] = step
+        report["train_final_nll"] = loss
+
+    # -- copy synthesis (ground-truth mel -> wav) --------------------------
+    meta = os.path.join(args.corpus, "metadata.csv")
+    with open(meta, encoding="utf-8") as f:
+        rows = [line.strip().split("|") for line in f][: args.n_copy]
+    copies = []
+    for i, row in enumerate(rows):
+        wav_path = os.path.join(args.corpus, "wavs", row[0] + ".wav")
+        ref = dsp.load_wav(wav_path, cfg.sample_rate)
+        ref = ref[: int(args.copy_seconds * cfg.sample_rate)]
+        _, mel = dsp.spectrograms(ref, cfg)
+        mel = np.asarray(mel)
+        gen = voc.vocode(mel, temperature=args.temperature)
+        gen = np.asarray(gen)
+        dsp.save_wav(gen, os.path.join(args.out, f"copy{i}_wavenet.wav"),
+                     cfg.sample_rate)
+        dsp.save_wav(ref, os.path.join(args.out, f"copy{i}_reference.wav"),
+                     cfg.sample_rate)
+        l1 = mel_l1(gen, mel, cfg)
+        agree = track_agreement(
+            dominant_freq_track(ref, cfg.sample_rate),
+            dominant_freq_track(gen, cfg.sample_rate))
+        _, gen_mel = dsp.spectrograms(gen, cfg)
+        plot_mel_panel(
+            os.path.join(args.out, f"copy{i}_mels.png"),
+            [("conditioning mel (ground truth)", mel),
+             ("mel of WaveNet output", np.asarray(gen_mel))],
+            cfg.sample_rate)
+        copies.append({"utterance": row[0], "mel_l1": round(l1, 4),
+                       "freq_track_agreement": round(agree, 4)})
+    report["copy_synthesis"] = copies
+
+    # -- end-to-end text -> taco2 -> wavenet -------------------------------
+    synth = Synthesizer.from_checkpoint(os.path.join(args.taco_run, "ckpt"))
+    tts = TextToSpeech(synth, voc)
+    e2e = []
+    for i, text in enumerate(args.texts):
+        wav, mel, _ = tts.synthesize(text, temperature=args.temperature)
+        wav = np.asarray(wav)
+        wav_gl, _, _ = synth.synthesize(text)
+        dsp.save_wav(wav, os.path.join(args.out, f"e2e{i}_wavenet.wav"),
+                     cfg.sample_rate)
+        dsp.save_wav(np.asarray(wav_gl),
+                     os.path.join(args.out, f"e2e{i}_griffinlim.wav"),
+                     cfg.sample_rate)
+        n_frames = max(int(np.ceil(len(wav_gl) / voc._hop)), 1)
+        pred_mel = np.asarray(mel)[:n_frames]
+        _, wn_mel = dsp.spectrograms(wav, cfg)
+        plot_mel_panel(
+            os.path.join(args.out, f"e2e{i}_mels.png"),
+            [("Tacotron-2 predicted mel", pred_mel),
+             ("mel of WaveNet output", np.asarray(wn_mel)),
+             ],
+            cfg.sample_rate)
+        e2e.append({
+            "text": text,
+            "wavenet_mel_l1_vs_predicted": round(mel_l1(wav, pred_mel, cfg), 4),
+            "griffinlim_mel_l1_vs_predicted": round(
+                mel_l1(np.asarray(wav_gl), pred_mel, cfg), 4),
+            "freq_track_agreement_wn_vs_gl": round(track_agreement(
+                dominant_freq_track(wav, cfg.sample_rate),
+                dominant_freq_track(np.asarray(wav_gl), cfg.sample_rate)), 4),
+            "seconds": round(len(wav) / cfg.sample_rate, 2),
+        })
+    report["end_to_end"] = e2e
+
+    out_json = os.path.join(args.out, "report.json")
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print("wrote", out_json)
+
+
+if __name__ == "__main__":
+    main()
