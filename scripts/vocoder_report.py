@@ -59,6 +59,23 @@ def track_agreement(a: np.ndarray, b: np.ndarray, tol_hz: float = 50.0):
     return float(np.mean(np.abs(a[:n] - b[:n]) <= tol_hz))
 
 
+def spectral_cosine(a: np.ndarray, b: np.ndarray, sr: int,
+                    frame: int = 1024, hop: int = 256) -> float:
+    """Mean per-frame cosine similarity of log-magnitude spectra — a
+    robust alternative to dominant-bin tracking when harmonics/tremolo
+    make the argmax bin flicker."""
+    n = min((len(a) - frame) // hop, (len(b) - frame) // hop)
+    sims = []
+    for i in range(max(n, 0)):
+        w = np.hanning(frame)
+        fa = np.log1p(np.abs(np.fft.rfft(a[i * hop: i * hop + frame] * w)))
+        fb = np.log1p(np.abs(np.fft.rfft(b[i * hop: i * hop + frame] * w)))
+        denom = np.linalg.norm(fa) * np.linalg.norm(fb)
+        if denom > 0:
+            sims.append(float(fa @ fb / denom))
+    return float(np.mean(sims)) if sims else 0.0
+
+
 def mel_l1(wav: np.ndarray, ref_mel: np.ndarray, cfg) -> float:
     """L1 between the mel of ``wav`` and ``ref_mel`` (both [T, M] in the
     framework's normalized [0, 1] mel domain), over the overlap."""
@@ -133,8 +150,13 @@ def main():
         "pqoc fjel azrv kmds wuh.",
         "tbi znogu chwad lyrfe qvk sjmp.",
     ])
-    ap.add_argument("--temperature", type=float, default=0.0,
-                    help="0 = argmax sampling (tones are deterministic)")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="sampling temperature for the shipped wavs "
+                         "(argmax=0 collapses: see docs/vocoder/README.md)")
+    ap.add_argument("--sweep", nargs="*", type=float, default=[],
+                    help="extra temperatures to score (metrics only)")
+    ap.add_argument("--tf-window", type=int, default=4096,
+                    help="teacher-forced scoring window (samples)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -154,10 +176,51 @@ def main():
         report["train_final_step"] = step
         report["train_final_nll"] = loss
 
-    # -- copy synthesis (ground-truth mel -> wav) --------------------------
+    # -- teacher-forced scoring (does the model KNOW the conditional?) -----
+    # One-step predictions on real audio + its mel: near-1 waveform
+    # correlation proves the learned conditional mapping independently of
+    # autoregressive drift.
+    import jax.numpy as jnp
+
+    from nspeech_tpu.dsp.mulaw import mu_law_decode
+    from nspeech_tpu.ops.upsample import upsample_on_device
+
     meta = os.path.join(args.corpus, "metadata.csv")
     with open(meta, encoding="utf-8") as f:
         rows = [line.strip().split("|") for line in f][: args.n_copy]
+
+    tf_wav = dsp.load_wav(
+        os.path.join(args.corpus, "wavs", rows[0][0] + ".wav"),
+        cfg.sample_rate)
+    rf = voc.net.receptive_field
+    off = min(20000, max(len(tf_wav) - rf - args.tf_window, 0))
+    seg = np.asarray(tf_wav[off: off + rf + args.tf_window], np.float32)[None]
+    _, tf_mel = dsp.spectrograms(np.asarray(tf_wav, np.float32), cfg)
+    lc_full = np.asarray(upsample_on_device(
+        jnp.asarray(np.asarray(tf_mel))[None], voc._hop, len(tf_wav)))
+    lc_seg = lc_full[:, off: off + seg.shape[1]]
+    logits, targets = voc.net.forward_train(
+        voc._params, jnp.asarray(seg), lc=jnp.asarray(lc_seg))
+    logits = np.asarray(logits)[0]
+    targets = np.asarray(targets)[0]
+    mx = logits.max(-1, keepdims=True)
+    logp = logits - mx - np.log(np.sum(np.exp(logits - mx), -1, keepdims=True))
+    pred = np.argmax(logits, -1)
+    err = np.abs(pred.astype(int) - targets.astype(int))
+    w_pred = np.asarray(mu_law_decode(jnp.asarray(pred),
+                                      voc.net.quantization_channels))
+    w_true = np.asarray(mu_law_decode(jnp.asarray(targets),
+                                      voc.net.quantization_channels))
+    report["teacher_forced"] = {
+        "window_samples": int(args.tf_window),
+        "nll": round(float(-np.mean(
+            logp[np.arange(len(targets)), targets])), 4),
+        "argmax_within_2_codes": round(float(np.mean(err <= 2)), 4),
+        "median_abs_code_err": int(np.median(err)),
+        "waveform_corr": round(float(np.corrcoef(w_pred, w_true)[0, 1]), 5),
+    }
+
+    # -- copy synthesis (ground-truth mel -> wav) --------------------------
     copies = []
     for i, row in enumerate(rows):
         wav_path = os.path.join(args.corpus, "wavs", row[0] + ".wav")
@@ -165,6 +228,14 @@ def main():
         ref = ref[: int(args.copy_seconds * cfg.sample_rate)]
         _, mel = dsp.spectrograms(ref, cfg)
         mel = np.asarray(mel)
+        sweep = {}
+        for t in args.sweep:
+            g = np.asarray(voc.vocode(mel, temperature=t))
+            sweep[str(t)] = {
+                "mel_l1": round(mel_l1(g, mel, cfg), 4),
+                "freq_track_agreement": round(track_agreement(
+                    dominant_freq_track(ref, cfg.sample_rate),
+                    dominant_freq_track(g, cfg.sample_rate)), 4)}
         gen = voc.vocode(mel, temperature=args.temperature)
         gen = np.asarray(gen)
         dsp.save_wav(gen, os.path.join(args.out, f"copy{i}_wavenet.wav"),
@@ -181,8 +252,13 @@ def main():
             [("conditioning mel (ground truth)", mel),
              ("mel of WaveNet output", np.asarray(gen_mel))],
             cfg.sample_rate)
-        copies.append({"utterance": row[0], "mel_l1": round(l1, 4),
-                       "freq_track_agreement": round(agree, 4)})
+        entry = {"utterance": row[0], "mel_l1": round(l1, 4),
+                 "freq_track_agreement": round(agree, 4),
+                 "spectral_cosine": round(spectral_cosine(
+                     ref, gen, cfg.sample_rate), 4)}
+        if sweep:
+            entry["sweep"] = sweep
+        copies.append(entry)
     report["copy_synthesis"] = copies
 
     # -- end-to-end text -> taco2 -> wavenet -------------------------------
