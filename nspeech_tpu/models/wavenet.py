@@ -153,7 +153,7 @@ class WaveNet:
         shrink = (self.initial_filter_width if self.scalar_input else fw) - 1
         output_width = x.shape[1] - sum(self.dilations) * (fw - 1)
 
-        skips = None
+        skip_outs = []
         current = x
         for lp, dilation in zip(params["layers"], self.dilations):
             conv_f = self._causal_conv(current, lp["filter"], dilation)
@@ -176,12 +176,24 @@ class WaveNet:
             out = jnp.tanh(conv_f) * jax.nn.sigmoid(conv_g)
 
             transformed = jnp.einsum("ntc,co->nto", out, lp["dense"][0])
-            skip = jnp.einsum("ntc,co->nto", out[:, -output_width:, :], lp["skip"][0])
             if self.use_biases:
                 transformed = transformed + lp["dense_bias"]
-                skip = skip + lp["skip_bias"]
-            skips = skip if skips is None else skips + skip
+            skip_outs.append(out[:, -output_width:, :])
             current = current[:, -transformed.shape[1]:, :] + transformed
+
+        # Skip reduction as ONE layer-stacked matmul. Accumulating the
+        # [N, T, skip_channels] skip sum per layer read-modify-writes a
+        # ~170 MB fp32 accumulator 50 times per step (and re-reads its
+        # cotangent 50 times in the transpose) — ~30 GB of HBM traffic at
+        # the default config. sum_l out_l @ W_l == stack_l(out_l) @
+        # concat_l(W_l): same FLOPs, one K=L*R contraction, accumulator
+        # touched once.
+        skips = jnp.einsum(
+            "lnto,loc->ntc", jnp.stack(skip_outs),
+            jnp.stack([lp["skip"][0] for lp in params["layers"]]),
+            preferred_element_type=jnp.float32)
+        if self.use_biases:
+            skips = skips + sum(lp["skip_bias"] for lp in params["layers"])
 
         h = jax.nn.relu(skips)
         h = jnp.einsum("ntc,co->nto", h, params["post1"][0])
