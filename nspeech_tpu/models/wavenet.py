@@ -146,33 +146,49 @@ class WaveNet:
         """x: [N, T_in, C_in] network input. Returns logits
         [N, T_in - RF + 1, Q]. ``lc`` is per-sample local conditioning
         aligned with x ([N, T_in, lc_channels])."""
-        fw = self.filter_width
         x = self._causal_conv(
             x, params["causal"],
             1)
-        shrink = (self.initial_filter_width if self.scalar_input else fw) - 1
+        shrink = (self.initial_filter_width if self.scalar_input
+                  else self.filter_width) - 1
+        return self._network_body(params, x, gc, lc, shrink)
+
+    def _network_body(self, params: Params, x: jnp.ndarray,
+                      gc: Optional[jnp.ndarray], lc: Optional[jnp.ndarray],
+                      shrink: int):
+        """Dilated stack + skip reduction + post network. ``x`` is the
+        output of the initial causal conv; ``shrink`` is how many leading
+        samples that conv consumed (aligns ``lc`` slices)."""
+        fw = self.filter_width
         output_width = x.shape[1] - sum(self.dilations) * (fw - 1)
 
         skip_outs = []
         current = x
+        dc = self.dilation_channels
         for lp, dilation in zip(params["layers"], self.dilations):
-            conv_f = self._causal_conv(current, lp["filter"], dilation)
-            conv_g = self._causal_conv(current, lp["gate"], dilation)
+            # One fused conv/einsum computes the filter AND gate halves
+            # (checkpoint layout untouched: kernels concatenate on the
+            # output axis at apply time) — halves the per-layer reads of
+            # `current`/`lc` and the op count on the layer chain.
+            w_fg = jnp.concatenate([lp["filter"], lp["gate"]], axis=2)
+            conv_fg = self._causal_conv(current, w_fg, dilation)
             shrink += dilation * (fw - 1)
             if gc is not None:
-                conv_f = conv_f + jnp.einsum("nc,co->no", gc, lp["gc_filter"][0])[:, None, :]
-                conv_g = conv_g + jnp.einsum("nc,co->no", gc, lp["gc_gate"][0])[:, None, :]
+                w_gc = jnp.concatenate([lp["gc_filter"][0],
+                                        lp["gc_gate"][0]], axis=1)
+                conv_fg = conv_fg + jnp.einsum("nc,co->no", gc,
+                                               w_gc)[:, None, :]
             if lc is not None:
                 # Align conditioning with this layer's output positions: the
                 # causal VALID convs consume `shrink` leading samples so far.
                 lc_layer = lc[:, shrink:, :]
-                conv_f = conv_f + jnp.einsum(
-                    "ntc,co->nto", lc_layer, lp["lc_filter"][0])
-                conv_g = conv_g + jnp.einsum(
-                    "ntc,co->nto", lc_layer, lp["lc_gate"][0])
+                w_lc = jnp.concatenate([lp["lc_filter"][0],
+                                        lp["lc_gate"][0]], axis=1)
+                conv_fg = conv_fg + jnp.einsum("ntc,co->nto", lc_layer, w_lc)
             if self.use_biases:
-                conv_f = conv_f + lp["filter_bias"]
-                conv_g = conv_g + lp["gate_bias"]
+                conv_fg = conv_fg + jnp.concatenate([lp["filter_bias"],
+                                                     lp["gate_bias"]])
+            conv_f, conv_g = conv_fg[..., :dc], conv_fg[..., dc:]
             out = jnp.tanh(conv_f) * jax.nn.sigmoid(conv_g)
 
             transformed = jnp.einsum("ntc,co->nto", out, lp["dense"][0])
@@ -220,16 +236,31 @@ class WaveNet:
         """Returns (logits [N, T-RF, Q], target codes [N, T-RF])."""
         Q = self.quantization_channels
         encoded = mu_law_encode(audio, Q)          # [N, T]
-        one_hot = jax.nn.one_hot(encoded, Q, dtype=jnp.float32)
-        if self.scalar_input:
-            net_in = audio[:, :-1, None].astype(jnp.float32)
-        else:
-            net_in = one_hot[:, :-1, :]            # drop last: causality
         lc_in = lc[:, :-1, :] if lc is not None else None
         gc = self._embed_gc(params, gc_ids)
-        logits = self._network(params, net_in, gc, lc_in)
+        if self.scalar_input:
+            net_in = audio[:, :-1, None].astype(jnp.float32)
+            logits = self._network(params, net_in, gc, lc_in)
+        else:
+            # The width-2 causal conv over a one-hot input is two embedding
+            # lookups: y_t = W[0][c_t] + W[1][c_{t+1}]. Gather instead of
+            # materializing the [N, T, Q] fp32 one-hot (~100 MB at the
+            # default training window) and convolving it.
+            logits = self._network_embedded(params, encoded[:, :-1], gc,
+                                            lc_in)
         targets = encoded[:, self.receptive_field:]
         return logits, targets
+
+    def _network_embedded(self, params: Params, codes: jnp.ndarray,
+                          gc, lc) -> jnp.ndarray:
+        """_network with the initial one-hot causal conv replaced by
+        gathers from the same kernel (exact same math)."""
+        fw = self.filter_width
+        w = params["causal"]                        # [fw, Q, R]
+        t_out = codes.shape[1] - fw + 1
+        x = sum(jnp.take(w[k], codes[:, k: k + t_out], axis=0)
+                for k in range(fw))
+        return self._network_body(params, x, gc, lc, shrink=fw - 1)
 
     def loss(self, logits: jnp.ndarray, targets: jnp.ndarray,
              params: Optional[Params] = None,
