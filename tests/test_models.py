@@ -166,6 +166,33 @@ def test_wavenet_train_shapes_and_initial_loss(rng):
     assert abs(float(loss) - np.log(64)) < 0.5
 
 
+def test_wavenet_train_path_matches_onehot_network(rng):
+    """forward_train's embedded-gather input path (the initial causal conv
+    computed as embedding lookups, wavenet.py:_network_embedded) must be
+    numerically identical to the one-hot conv network used by
+    predict_logits — same kernel, two formulations."""
+    from nspeech_tpu.dsp.mulaw import mu_law_encode
+
+    cfg = tiny_wavenet()
+    cfg.parse("gc_channels=4,gc_category_cardinality=3,lc_channels=5")
+    net = WaveNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    T = net.receptive_field + 8
+    audio = jnp.array(rng.uniform(-0.8, 0.8, (2, T)), jnp.float32)
+    gc_ids = jnp.array([1, 2], jnp.int32)
+    lc = jnp.array(rng.random((2, T, 5)), jnp.float32)
+
+    logits_tr, targets = net.forward_train(params, audio, gc_ids=gc_ids,
+                                           lc=lc)
+    codes = mu_law_encode(audio, cfg.quantization_channels)
+    logits_oh = net.predict_logits(params, codes[:, :-1], gc_ids=gc_ids,
+                                   lc=lc[:, :-1, :])
+    np.testing.assert_allclose(np.asarray(logits_tr),
+                               np.asarray(logits_oh), atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(targets),
+                                  np.asarray(codes[:, net.receptive_field:]))
+
+
 def test_wavenet_learns(rng):
     import optax
 
