@@ -124,9 +124,12 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
 
 
 def bench_wavenet_train(batch_size: int = 4, sample_size: int = 20480,
-                        steps: int = 8, precision: str = "bfloat16"):
+                        steps: int = 8, precision: str = "bfloat16",
+                        use_lc: bool = False):
     """Sustained WaveNet training rate in audio samples/sec/chip (chained
-    dispatch, same methodology as the Tacotron bench)."""
+    dispatch, same methodology as the Tacotron bench). ``use_lc``
+    measures the mel-conditioned vocoder configuration (lc_channels=80,
+    frame-rate mels upsampled on device — the layout the feeder ships)."""
     jax.config.update("jax_default_matmul_precision", precision)
     import nspeech_tpu.config as config
     from nspeech_tpu.data.wavenet_feeder import WaveNetBatch
@@ -135,17 +138,28 @@ def bench_wavenet_train(batch_size: int = 4, sample_size: int = 20480,
     from nspeech_tpu.train.loop import build_wavenet_train_step
 
     cfg = config.load_config("wavenet")
+    if use_lc:
+        cfg.parse("lc_channels=80")
     net = WaveNet(cfg)
     tx, schedule = make_optimizer(cfg, "wavenet")
-    step_fn = build_wavenet_train_step(net, tx, cfg, schedule=schedule)
+    step_fn = build_wavenet_train_step(net, tx, cfg, schedule=schedule,
+                                       use_lc=use_lc)
     state = create_state(net, tx, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
     T = net.receptive_field + sample_size
+    if use_lc:
+        _, hop, _ = config.stft_params(cfg)
+        mel = jnp.asarray(rng.random((batch_size, T // hop + 2,
+                                      cfg.num_mels), np.float32))
+        phase = jnp.zeros((batch_size,), jnp.int32)
+    else:
+        mel = jnp.zeros((batch_size, T, cfg.num_mels), jnp.float32)
+        phase = None
     batch = WaveNetBatch(
         audio=jnp.asarray(rng.random((batch_size, T), np.float32) * 2 - 1),
         speaker_ids=jnp.zeros((batch_size,), jnp.int32),
-        mel=jnp.zeros((batch_size, T, cfg.num_mels), jnp.float32),
+        mel=mel, mel_phase=phase,
     )
     key = jax.random.PRNGKey(1)
     for _ in range(2):
@@ -241,6 +255,10 @@ def main() -> None:
     rate_tr = bench_wavenet_train(precision=args.precision)
     _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
           "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
+          args.precision)
+    rate_tr_lc = bench_wavenet_train(precision=args.precision, use_lc=True)
+    _emit("wavenet_train_lc_samples_per_sec_per_chip", round(rate_tr_lc, 1),
+          "samples/sec/chip", round(rate_tr_lc / 20000.0 / 5.0, 4),
           args.precision)
 
     # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls

@@ -50,3 +50,22 @@ def upsample_window(mel_frames: jnp.ndarray, phase: jnp.ndarray,
     w = jnp.clip(p - i0.astype(jnp.float32), 0.0, 1.0)[..., None]
     take = jax.vmap(lambda rows, idx: jnp.take(rows, idx, axis=0))
     return take(mel_frames, i0) * (1.0 - w) + take(mel_frames, i1) * w
+
+
+def batch_lc(batch, cfg) -> jnp.ndarray:
+    """Per-sample local conditioning for a ``WaveNetBatch`` in either
+    layout: the legacy per-sample ``mel`` passes through unchanged; the
+    frame-rate layout (``mel_phase`` set) gets the phase-aligned
+    on-device upsample. ``cfg`` supplies the hop length and is required
+    only for the frame-rate layout."""
+    if getattr(batch, "mel_phase", None) is None:
+        return batch.mel
+    if cfg is None:
+        raise ValueError(
+            "batch ships frame-rate mels (mel_phase set) but no cfg was "
+            "given to derive hop_length — pass cfg to the step builder")
+    from nspeech_tpu.config import stft_params
+
+    _, hop, _ = stft_params(cfg)
+    return upsample_window(batch.mel, batch.mel_phase, hop,
+                           batch.audio.shape[1])

@@ -86,13 +86,16 @@ def make_time_sharded_logits(net, mesh: Mesh, axis: str = DATA_AXIS,
 def build_time_sharded_wavenet_step(net, optimizer, mesh: Mesh,
                                     axis: str = DATA_AXIS,
                                     use_gc: bool = False, use_lc: bool = False,
-                                    schedule=None):
+                                    schedule=None, cfg=None):
     """Jitted train step on time-sharded long audio windows.
 
     state/batch contract matches train.loop.build_wavenet_train_step but the
     batch's audio (and lc) time axis is sharded over the mesh instead of the
-    batch axis.
+    batch axis. Batches in the feeder's frame-rate lc layout (``mel_phase``
+    set) are upsampled to per-sample rate on device before sharding —
+    pass ``cfg`` (for the hop length) when using that layout.
     """
+    from nspeech_tpu.ops.upsample import batch_lc
     from nspeech_tpu.train.loop import TrainState, _global_norm
 
     logits_fn = make_time_sharded_logits(net, mesh, axis, use_gc, use_lc)
@@ -107,7 +110,7 @@ def build_time_sharded_wavenet_step(net, optimizer, mesh: Mesh,
             logits, targets = logits_fn(
                 params, batch.audio,
                 gc_ids=batch.speaker_ids if use_gc else None,
-                lc=batch.mel if use_lc else None)
+                lc=batch_lc(batch, cfg) if use_lc else None)
             return net.loss(logits, targets)
 
         (loss_val), grads = jax.value_and_grad(

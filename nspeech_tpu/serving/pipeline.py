@@ -10,8 +10,6 @@ replacing Griffin-Lim as the vocoder.
 
 from __future__ import annotations
 
-import functools
-
 from typing import Optional, Tuple
 
 import jax
@@ -148,11 +146,15 @@ class TextToSpeech:
         self.vocoder = vocoder
 
     def synthesize(self, text: str, speaker_id: int = -1,
-                   temperature: float = 1.0
-                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                   temperature: float = 1.0, return_gl: bool = False):
+        """Returns (wav, mel, lin), or (wav, mel, lin, wav_gl) with
+        ``return_gl`` — the Griffin-Lim waveform is computed either way
+        (its endpoint trims the vocoder input), so asking for it is
+        free."""
         wav_gl, mel, lin = self.synthesizer.synthesize(text, speaker_id)
         if self.vocoder is None:
-            return wav_gl, mel, lin
+            return ((wav_gl, mel, lin, wav_gl) if return_gl
+                    else (wav_gl, mel, lin))
         # The decoder always runs to max_iters, so the raw mel carries
         # trailing post-stop frames. The Griffin-Lim waveform is already
         # endpoint-trimmed (synthesizer.synthesize_batch), so its length
@@ -163,7 +165,7 @@ class TextToSpeech:
             mel_trimmed, speaker_id if speaker_id >= 0 else None,
             temperature=temperature)
         wav = wav[: dsp.find_endpoint(wav, self.synthesizer.cfg)]
-        return wav, mel, lin
+        return (wav, mel, lin, wav_gl) if return_gl else (wav, mel, lin)
 
     def synthesize_batch(self, texts, speaker_ids=None,
                          temperature: float = 1.0):

@@ -113,16 +113,12 @@ def build_wavenet_train_step(net, optimizer, cfg: Config, mesh=None,
         def loss_fn(params):
             lc = None
             if use_lc:
-                lc = batch.mel
-                if getattr(batch, "mel_phase", None) is not None:
-                    # frame-rate mels + per-window phase: upsample on
-                    # device (~hop x less host->device traffic)
-                    from nspeech_tpu.config import stft_params
-                    from nspeech_tpu.ops.upsample import upsample_window
+                # frame-rate mels + per-window phase upsample on device
+                # (~hop x less host->device traffic); per-sample mels
+                # pass through.
+                from nspeech_tpu.ops.upsample import batch_lc
 
-                    _, hop, _ = stft_params(cfg)
-                    lc = upsample_window(batch.mel, batch.mel_phase, hop,
-                                         batch.audio.shape[1])
+                lc = batch_lc(batch, cfg)
             logits, targets = net.forward_train(
                 params, batch.audio,
                 gc_ids=batch.speaker_ids if use_gc else None,

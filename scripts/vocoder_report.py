@@ -229,6 +229,7 @@ def main():
         _, mel = dsp.spectrograms(ref, cfg)
         mel = np.asarray(mel)
         sweep = {}
+        gen = None
         for t in args.sweep:
             g = np.asarray(voc.vocode(mel, temperature=t))
             sweep[str(t)] = {
@@ -236,8 +237,10 @@ def main():
                 "freq_track_agreement": round(track_agreement(
                     dominant_freq_track(ref, cfg.sample_rate),
                     dominant_freq_track(g, cfg.sample_rate)), 4)}
-        gen = voc.vocode(mel, temperature=args.temperature)
-        gen = np.asarray(gen)
+            if t == args.temperature:
+                gen = g  # reuse: the shipped wav is this sweep point
+        if gen is None:
+            gen = np.asarray(voc.vocode(mel, temperature=args.temperature))
         dsp.save_wav(gen, os.path.join(args.out, f"copy{i}_wavenet.wav"),
                      cfg.sample_rate)
         dsp.save_wav(ref, os.path.join(args.out, f"copy{i}_reference.wav"),
@@ -266,9 +269,9 @@ def main():
     tts = TextToSpeech(synth, voc)
     e2e = []
     for i, text in enumerate(args.texts):
-        wav, mel, _ = tts.synthesize(text, temperature=args.temperature)
+        wav, mel, _, wav_gl = tts.synthesize(
+            text, temperature=args.temperature, return_gl=True)
         wav = np.asarray(wav)
-        wav_gl, _, _ = synth.synthesize(text)
         dsp.save_wav(wav, os.path.join(args.out, f"e2e{i}_wavenet.wav"),
                      cfg.sample_rate)
         dsp.save_wav(np.asarray(wav_gl),

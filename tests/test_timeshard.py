@@ -93,6 +93,39 @@ def test_sharded_step_learns(rng):
     assert losses[-1] < losses[0]
 
 
+def test_sharded_step_frame_lc_matches_per_sample(rng):
+    """The time-sharded step must understand the feeder's default
+    frame-rate lc layout (mel_phase set): same loss as the legacy
+    per-sample layout carrying the host-upsampled equivalent."""
+    from nspeech_tpu.config import stft_params
+    from nspeech_tpu.data.wavenet_feeder import WaveNetBatch, upsample_frames
+    from nspeech_tpu.train import create_state, make_optimizer
+
+    net = tiny_net("lc_channels=3")
+    cfg = net.cfg
+    _, hop, _ = stft_params(cfg)
+    tx, _ = make_optimizer(cfg, "wavenet")
+    mesh = make_mesh()
+    T = 8 * 16
+    audio = jnp.array(rng.uniform(-0.5, 0.5, (2, T)), jnp.float32)
+    ids = jnp.zeros((2,), jnp.int32)
+    n_frames = T // hop + 2
+    frames = np.asarray(rng.random((2, n_frames, 3)), np.float32)
+    per_sample = np.stack([upsample_frames(f, hop, T) for f in frames])
+
+    step = build_time_sharded_wavenet_step(net, tx, mesh, use_lc=True,
+                                           cfg=cfg)
+    state = create_state(net, tx, jax.random.PRNGKey(0))
+    _, m_frame = step(state, WaveNetBatch(
+        audio=audio, speaker_ids=ids, mel=jnp.asarray(frames),
+        mel_phase=jnp.zeros((2,), jnp.int32)), None)
+    state2 = create_state(net, tx, jax.random.PRNGKey(0))
+    _, m_sample = step(state2, WaveNetBatch(
+        audio=audio, speaker_ids=ids, mel=jnp.asarray(per_sample)), None)
+    np.testing.assert_allclose(float(m_frame["loss"]),
+                               float(m_sample["loss"]), rtol=1e-5)
+
+
 def test_chunk_too_small_raises(rng):
     net = tiny_net()
     params = net.init(jax.random.PRNGKey(0))
