@@ -78,7 +78,14 @@ def init_conv1d(key, width: int, in_ch: int, out_ch: int, use_bias: bool = True)
 
 def conv1d(params: Params, x: jnp.ndarray, padding: str = "SAME",
            dilation: int = 1) -> jnp.ndarray:
-    """x: [N, T, C] -> [N, T', C_out]."""
+    """x: [N, T, C] -> [N, T', C_out].
+
+    Stays on lax.conv_general_dilated deliberately: the shifted-slice
+    einsum formulation that wins 3.3x on WaveNet's narrow 32-channel
+    dilated convs (models/wavenet.py:_causal_conv) was measured SLOWER
+    here (taco2 step 26.1 -> 29.4 ms) — at the Tacotron stacks'
+    128-512 channels the conv lowering already tiles the MXU well and
+    one conv beats width-many einsums."""
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"],
