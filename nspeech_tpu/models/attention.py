@@ -110,7 +110,16 @@ def attention_step(
         q = dense(params["query_layer"], query)[:, None, :]  # [N, 1, U]
         if attention_type == "location_sensitive":
             # previous alignments -> conv features -> dense, added into the
-            # Bahdanau energy (reference: attention.py:40-50,53-60)
+            # Bahdanau energy (reference: attention.py:40-50,53-60).
+            # Measured and REJECTED on-chip: collapsing the bias-free
+            # Conv1D(7,1->20) + Dense(20->U) into one [N,T,7] @ [7,U]
+            # matmul over stacked shifted slices (mathematically exact,
+            # effective kernel loop-invariant) made the taco2 train step
+            # SLOWER, 26.6 -> 29.3 ms — the slice-stack's scan-transpose
+            # is 7 pad-adds per decoder step, while XLA already fuses
+            # this conv+dense pair well. See tests/test_models.py
+            # (test_location_attention_matches_conv_dense) for the
+            # behavioral contract either formulation must satisfy.
             f = conv1d(params["location_conv"], prev_alignments[:, :, None])
             loc = dense(params["location_layer"], f)  # [N, T_in, U]
             energy = jnp.tanh(keys + q + loc)

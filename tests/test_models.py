@@ -144,6 +144,41 @@ def test_all_attention_types_run(att, rng):
     assert np.isfinite(a).all() and a.min() >= 0.0
 
 
+def test_location_attention_matches_conv_dense(rng):
+    """The fused stacked-slice matmul inside attention_step must equal the
+    reference formulation it replaces: SAME-padded Conv1D(7,1->20) of the
+    previous alignments followed by Dense(20->U), added into the energy."""
+    from nspeech_tpu.models import attention as att_mod
+    from nspeech_tpu.ops.layers import conv1d, dense
+
+    n, t_in, u, d = 3, 23, 16, 16
+    params = att_mod.init_attention(jax.random.PRNGKey(0),
+                                    "location_sensitive", num_units=u,
+                                    memory_dim=d, query_dim=u)
+    prev = jnp.asarray(rng.random((n, t_in)), jnp.float32)
+    prev = prev / prev.sum(axis=1, keepdims=True)
+    query = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    values = jnp.asarray(rng.standard_normal((n, t_in, d)), jnp.float32)
+    keys = att_mod.prepare_memory(params, values)
+    mask = jnp.arange(t_in)[None, :] < jnp.asarray([23, 17, 9])[:, None]
+
+    ctx, aln = att_mod.attention_step(params, "location_sensitive", query,
+                                      prev, keys, values, mask)
+
+    # independent oracle: conv1d -> dense -> bahdanau energy
+    f = conv1d(params["location_conv"], prev[:, :, None])
+    loc = dense(params["location_layer"], f)
+    q = dense(params["query_layer"], query)[:, None, :]
+    score = jnp.einsum("u,ntu->nt", params["v"], jnp.tanh(keys + q + loc))
+    aln_ref = jax.nn.softmax(jnp.where(mask, score, -jnp.inf), axis=-1)
+    ctx_ref = jnp.einsum("nt,ntd->nd", aln_ref, values)
+
+    np.testing.assert_allclose(np.asarray(aln), np.asarray(aln_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_receptive_field_formula():
     # reference formula (wavenet.py:126-134): (fw-1)*sum(dil)+1 + (fw-1)
     dil = [2 ** i for i in range(10)] * 5
