@@ -9,8 +9,9 @@ Also emitted by default: MFU (XLA cost-analysis FLOPs / step time / chip
 peak), sec/step, WaveNet TRAINING throughput, and — on TPU hosts only
 (the Pallas kernel does not lower on CPU) — the WaveNet Pallas sampling
 rates (single-stream and batch-8 aggregate; target 5x real time per
-BASELINE.md) plus the mel-conditioned vocoder rate. Every record carries
-the active matmul precision so the numbers are interpretable.
+BASELINE.md) plus the mel-conditioned vocoder rate and the Tacotron-2
+text->wav serving latency at the full decode budget. Every record
+carries the active matmul precision so the numbers are interpretable.
 """
 
 from __future__ import annotations
@@ -215,6 +216,34 @@ def bench_wavenet_generate(batch: int = 1):
     return rate, rate / cfg.sample_rate
 
 
+def bench_taco2_serving():
+    """Steady-state text -> waveform serving latency through the one jitted
+    decode + Griffin-Lim program (serving/synthesizer.py), in seconds per
+    utterance. A random-init model never crosses ``stop_threshold``, so the
+    decoder runs its full ``max_iters`` budget — this is the deterministic
+    UPPER bound; a trained model exits at its stop frames and pays only its
+    own decode steps (measured in README's serving section). Returns
+    (sec_per_utterance, decoded_audio_seconds)."""
+    import nspeech_tpu.config as config
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+
+    cfg = config.load_config("taco2")
+    model = create_model("taco2", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    syn = Synthesizer(cfg).set_variables(params, bn_state, model=model)
+    text = "The birch canoe slid on the smooth planks across the lake."
+    wav, mel, _ = syn.synthesize(text)  # compile
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        syn.synthesize(text)
+        best = min(best, time.perf_counter() - start)
+    _, hop, _ = config.stft_params(cfg)
+    audio_secs = mel.shape[0] * hop / cfg.sample_rate
+    return best, audio_secs
+
+
 def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
     print(json.dumps({
         "metric": metric,
@@ -307,6 +336,13 @@ def main() -> None:
         _emit("wavenet_vocoder_lc_samples_per_sec", round(rate_lc, 1),
               "samples/sec", round(rate_lc / cfg.sample_rate / 5.0, 4),
               "float32")
+
+        # Serving latency at the full decode budget (see bench_taco2_serving
+        # docstring); vs_baseline = decoded-audio-seconds / latency, i.e.
+        # how many times faster than real time the serving path runs.
+        sec_utt, audio_secs = bench_taco2_serving()
+        _emit("taco2_serving_sec_per_utterance_cap", round(sec_utt, 4),
+              "sec", round(audio_secs / sec_utt, 2), "float32")
 
 
 if __name__ == "__main__":
