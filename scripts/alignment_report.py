@@ -68,12 +68,33 @@ def monotonicity(align: np.ndarray, steps_used: int) -> float:
     return float(np.mean(np.diff(path) >= -1))
 
 
+def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
+              hop: int = 512) -> float:
+    """Median over voiced frames of the FFT-peak frequency — for the
+    synthetic alignment corpora (harmonics < fundamental amplitude) this
+    tracks the fundamental, so the per-speaker frequency scale of
+    speaker_voice() is directly recoverable from synthesized audio."""
+    peaks = []
+    for start in range(0, max(len(wav) - n_fft, 1), hop):
+        frame = wav[start: start + n_fft]
+        if len(frame) < n_fft or float(np.sqrt(np.mean(frame ** 2))) < 0.03:
+            continue  # unvoiced / silence
+        mag = np.abs(np.fft.rfft(frame * np.hanning(len(frame))))
+        peaks.append(np.argmax(mag) * sample_rate / n_fft)
+    return float(np.median(peaks)) if peaks else 0.0
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--run-dir", required=True,
                         help="log_dir/<run> containing metrics.jsonl + ckpt/")
     parser.add_argument("--out", required=True)
     parser.add_argument("--text", action="append", default=[])
+    parser.add_argument("--speakers", default="",
+                        help="comma-separated speaker ids: synthesize every "
+                             "--text for EVERY listed speaker and report "
+                             "per-speaker median F0 (speaker-conditioning "
+                             "evidence for multi-speaker checkpoints)")
     parser.add_argument("--stop-threshold", type=float, default=0.02)
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
@@ -94,26 +115,45 @@ def main() -> None:
         ckpt = os.path.join(args.run_dir, "ckpt")
         synth = Synthesizer.from_checkpoint(
             ckpt, overrides="stop_threshold=%g" % args.stop_threshold)
+        speakers = ([int(s) for s in args.speakers.split(",")]
+                    if args.speakers else [-1])
         report["texts"] = []
         for i, text in enumerate(args.text):
-            wav, mel, _ = synth.synthesize(text)
-            align = synth.last_alignment  # [T_in, S]
-            steps = int(getattr(synth, "last_decoder_steps", align.shape[1]))
-            base = os.path.join(args.out, "eval-%d" % i)
-            dsp.save_wav(wav, base + ".wav", synth.cfg.sample_rate)
-            n_text = len(text) + 1  # + EOS
-            plot.plot_alignment(align[:n_text, :steps + 2],
-                                base + "-align.png",
-                                info="autoregressive: %r" % text)
-            plot.plot_specgram(mel, base + "-mel.png", "mel")
-            report["texts"].append({
-                "text": text,
-                "decoder_steps": steps,
-                "seconds": round(len(wav) / synth.cfg.sample_rate, 2),
-                "monotonicity": round(monotonicity(align[:n_text], steps), 4),
-                "sharpness": round(float(np.mean(np.max(
-                    align[:, :steps], axis=0))), 4),
-            })
+            per_speaker = {}
+            for spk in speakers:
+                wav, mel, _ = synth.synthesize(text, speaker_id=spk)
+                align = synth.last_alignment  # [T_in, S]
+                steps = int(getattr(synth, "last_decoder_steps",
+                                    align.shape[1]))
+                tag = "eval-%d" % i if spk < 0 else "eval-%d-spk%d" % (i, spk)
+                base = os.path.join(args.out, tag)
+                dsp.save_wav(wav, base + ".wav", synth.cfg.sample_rate)
+                n_text = len(text) + 1  # + EOS
+                plot.plot_alignment(align[:n_text, :steps + 2],
+                                    base + "-align.png",
+                                    info="autoregressive: %r" % text)
+                plot.plot_specgram(mel, base + "-mel.png", "mel")
+                per_speaker[spk] = {
+                    "decoder_steps": steps,
+                    "seconds": round(len(wav) / synth.cfg.sample_rate, 2),
+                    "monotonicity": round(
+                        monotonicity(align[:n_text], steps), 4),
+                    "sharpness": round(float(np.mean(np.max(
+                        align[:, :steps], axis=0))), 4),
+                    "median_f0_hz": round(
+                        median_f0(wav, synth.cfg.sample_rate), 1),
+                }
+            entry = {"text": text}
+            if speakers == [-1]:
+                entry.update(per_speaker[-1])
+            else:
+                entry["per_speaker"] = {str(k): v
+                                        for k, v in per_speaker.items()}
+                f0s = [per_speaker[s]["median_f0_hz"] for s in speakers]
+                if f0s[0] > 0:
+                    entry["f0_ratio_vs_first_speaker"] = [
+                        round(f / f0s[0], 3) for f in f0s]
+            report["texts"].append(entry)
 
     path = os.path.join(args.out, "report.json")
     with open(path, "w") as f:

@@ -18,9 +18,16 @@ character here is rendered as a distinct spectral "phone":
   1:1 character<->audio correspondence survives the text frontend.
 
 Output is LJSpeech layout (wavs/<id>.wav + metadata.csv), consumable by
-``train.py --ljspeech``.
+``train.py --ljspeech`` — or, with ``speakers > 1``, VCTK layout
+(wav48/p<k>/..., txt/p<k>/...) for ``train.py --vctk``: each speaker is
+a distinct "voice" — a vocal-tract-length analog frequency scale plus a
+harmonic tilt applied on top of the per-character recipe — so the model
+can only hit the right absolute frequencies by using the speaker
+embedding (the conditioning path of reference tacotron.py:42-50,
+modules.py:156-169).
 
 Usage: python scripts/make_alignment_corpus.py <out_dir> [n_utt] [seed]
+           [style] [speakers]
 """
 
 from __future__ import annotations
@@ -62,8 +69,22 @@ def _char_freq(c: str) -> float:
     return 170.0 * (1900.0 / 170.0) ** (idx / 25.0)
 
 
+def speaker_voice(k: int, n_speakers: int) -> tuple[float, float]:
+    """(f_scale, h_tilt) for speaker k of n: frequency scales spread
+    geometrically over [0.78, 1.2] (3rd harmonic x max glide x 1.2 stays
+    under the 10 kHz Nyquist) and harmonic tilts over [0.5, 1.6],
+    decorrelated from the f_scale ordering so neither cue alone
+    identifies the speaker."""
+    if n_speakers <= 1:
+        return 1.0, 1.0
+    u = k / (n_speakers - 1)
+    t = ((k * 7) % n_speakers) / (n_speakers - 1)
+    return 0.78 * (1.2 / 0.78) ** u, 0.5 * (1.6 / 0.5) ** t
+
+
 def render_char(c: str, dur: float, sample_rate: int,
-                rng: np.random.Generator) -> np.ndarray:
+                rng: np.random.Generator, f_scale: float = 1.0,
+                h_tilt: float = 1.0) -> np.ndarray:
     """Render one character as a NONSTATIONARY tone.
 
     A constant tone is predictable from its own previous frames, which
@@ -82,11 +103,12 @@ def render_char(c: str, dur: float, sample_rate: int,
     idx = ord(c) - ord("a")
     # exponential glide f(t) = f * g^(t/dur); g in [0.7, 1.43], char-specific
     g = 0.7 * (1.43 / 0.7) ** (((idx * 11) % 26) / 25.0)
-    inst_f = f * g ** (t / max(dur, 1e-6))
+    inst_f = f * f_scale * g ** (t / max(dur, 1e-6))
     phase = 2 * np.pi * np.cumsum(inst_f) / sample_rate
-    # character-specific harmonic recipe (second fingerprint besides f0)
-    h2 = 0.5 * ((idx * 7) % 5) / 4.0
-    h3 = 0.5 * ((idx * 3) % 5) / 4.0
+    # character-specific harmonic recipe (second fingerprint besides f0),
+    # scaled by the speaker's harmonic tilt
+    h2 = h_tilt * 0.5 * ((idx * 7) % 5) / 4.0
+    h3 = h_tilt * 0.5 * ((idx * 3) % 5) / 4.0
     wav = np.sin(phase) + h2 * np.sin(2 * phase) + h3 * np.sin(3 * phase)
     # char-specific tremolo (4-12 Hz amplitude modulation)
     trem = 4.0 + 8.0 * (((idx * 5) % 13) / 12.0)
@@ -100,11 +122,11 @@ def render_char(c: str, dur: float, sample_rate: int,
     return wav + 0.003 * rng.standard_normal(n)
 
 
-def render_text(text: str, sample_rate: int,
-                rng: np.random.Generator) -> np.ndarray:
+def render_text(text: str, sample_rate: int, rng: np.random.Generator,
+                f_scale: float = 1.0, h_tilt: float = 1.0) -> np.ndarray:
     parts = [
         render_char(c, _char_base_dur(c) * rng.uniform(0.75, 1.3),
-                    sample_rate, rng)
+                    sample_rate, rng, f_scale=f_scale, h_tilt=h_tilt)
         for c in text
     ]
     return np.clip(np.concatenate(parts), -1.0, 1.0)
@@ -130,26 +152,47 @@ def make_sentence(rng: np.random.Generator, style: str = "words") -> str:
 
 
 def make_corpus(out_dir: str, n: int = 400, sample_rate: int = 20000,
-                seed: int = 11, style: str = "words") -> str:
+                seed: int = 11, style: str = "words",
+                speakers: int = 1) -> str:
     from scipy.io import wavfile
 
     rng = np.random.default_rng(seed)
-    os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
     lines = []
     total_s = 0.0
+    if speakers <= 1:
+        os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
     for i in range(n):
-        utt_id = "ALN%04d" % i
         text = make_sentence(rng, style)
-        wav = render_text(text, sample_rate, rng)
+        if speakers > 1:
+            # VCTK layout, speakers round-robin so every speaker sees the
+            # same amount of (different) text
+            spk = i % speakers
+            f_scale, h_tilt = speaker_voice(spk, speakers)
+            wav = render_text(text, sample_rate, rng,
+                              f_scale=f_scale, h_tilt=h_tilt)
+            base = "p%03d_%04d" % (spk + 1, i)
+            wav_dir = os.path.join(out_dir, "wav48", "p%03d" % (spk + 1))
+            txt_dir = os.path.join(out_dir, "txt", "p%03d" % (spk + 1))
+            os.makedirs(wav_dir, exist_ok=True)
+            os.makedirs(txt_dir, exist_ok=True)
+            wavfile.write(os.path.join(wav_dir, base + ".wav"),
+                          sample_rate, (wav * 32767).astype(np.int16))
+            with open(os.path.join(txt_dir, base + ".txt"), "w",
+                      encoding="utf-8") as f:
+                f.write(text + "\n")
+        else:
+            utt_id = "ALN%04d" % i
+            wav = render_text(text, sample_rate, rng)
+            wavfile.write(os.path.join(out_dir, "wavs", utt_id + ".wav"),
+                          sample_rate, (wav * 32767).astype(np.int16))
+            lines.append(f"{utt_id}|{text}|{text}")
         total_s += len(wav) / sample_rate
-        wavfile.write(os.path.join(out_dir, "wavs", utt_id + ".wav"),
-                      sample_rate, (wav * 32767).astype(np.int16))
-        lines.append(f"{utt_id}|{text}|{text}")
-    with open(os.path.join(out_dir, "metadata.csv"), "w",
-              encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
-    print("Wrote %d utterances (%.1f min of audio) to %s"
-          % (n, total_s / 60.0, out_dir))
+    if lines:
+        with open(os.path.join(out_dir, "metadata.csv"), "w",
+                  encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+    print("Wrote %d utterances (%.1f min of audio, %d speaker(s)) to %s"
+          % (n, total_s / 60.0, max(speakers, 1), out_dir))
     return out_dir
 
 
@@ -158,4 +201,5 @@ if __name__ == "__main__":
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 11
     style = sys.argv[4] if len(sys.argv) > 4 else "words"
-    make_corpus(out, n, seed=seed, style=style)
+    speakers = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    make_corpus(out, n, seed=seed, style=style, speakers=speakers)

@@ -85,6 +85,46 @@ def test_multispeaker_tacotron_forward(rng):
                                np.asarray(out_b["mel_outputs"]))
 
 
+def _load_script(name):
+    """Import a repo script (scripts/ has no package __init__)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                        name + ".py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_multispeaker_alignment_corpus(tmp_path):
+    """speakers>1 emits VCTK layout consumable by load_vctk, and the
+    per-speaker voices differ by the designed F0 scale (recoverable from
+    the rendered audio via the report tool's median_f0)."""
+    mac = _load_script("make_alignment_corpus")
+    out = mac.make_corpus(str(tmp_path / "c"), n=8, seed=3, style="words",
+                          speakers=2)
+    from nspeech_tpu.data.corpus import build_speaker_map, load_vctk
+
+    items = list(load_vctk(out))
+    assert len(items) == 8
+    assert all(i[3] == "vctk" for i in items)
+    assert all(i[1].strip() for i in items)  # texts round-trip
+    assert len(build_speaker_map(items)) == 2
+
+    ar = _load_script("alignment_report")
+    text = "deep wave tone."
+    f0 = []
+    for k in range(2):
+        f_scale, h_tilt = mac.speaker_voice(k, 2)
+        wav = mac.render_text(text, 20000, np.random.default_rng(1),
+                              f_scale=f_scale, h_tilt=h_tilt)
+        f0.append(ar.median_f0(wav, 20000))
+    expected = mac.speaker_voice(1, 2)[0] / mac.speaker_voice(0, 2)[0]
+    assert f0[0] > 0 and f0[1] > 0
+    assert abs(f0[1] / f0[0] - expected) / expected < 0.25, (f0, expected)
+
+
 CMUDICT_SAMPLE = """\
 ;;; comment line
 HELLO  HH AH0 L OW1
