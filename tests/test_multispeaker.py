@@ -125,6 +125,28 @@ def test_multispeaker_alignment_corpus(tmp_path):
     assert abs(f0[1] / f0[0] - expected) / expected < 0.25, (f0, expected)
 
 
+def test_vctk_feeder_batches_carry_speaker_ids(tmp_path):
+    """A VCTK-layout corpus flows through DataFeeder end to end: batches
+    carry the global speaker ids from the deterministic speaker map and
+    both speakers appear across an epoch (the conditioning input the
+    models consume, reference datafeeder.py:96-108)."""
+    mac = _load_script("make_alignment_corpus")
+    out = mac.make_corpus(str(tmp_path / "c"), n=6, seed=5, style="words",
+                          speakers=2)
+    from nspeech_tpu.config import load_config
+    from nspeech_tpu.data import DataFeeder
+
+    cfg = load_config("taco2")
+    cfg.parse("batch_size=2,batch_group_size=2")
+    feeder = DataFeeder({"vctk": out}, cfg)
+    assert feeder.num_speakers == 2
+    seen = set()
+    for batch in feeder.epoch_batches(0):
+        assert batch.speaker_ids.shape == (2,)
+        seen.update(int(s) for s in batch.speaker_ids)
+    assert seen == {0, 1}
+
+
 CMUDICT_SAMPLE = """\
 ;;; comment line
 HELLO  HH AH0 L OW1
