@@ -74,11 +74,15 @@ def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
     synthetic alignment corpora (harmonics < fundamental amplitude) this
     tracks the fundamental, so the per-speaker frequency scale of
     speaker_voice() is directly recoverable from synthesized audio."""
+    overall = float(np.sqrt(np.mean(np.square(wav)))) or 1.0
     peaks = []
     for start in range(0, max(len(wav) - n_fft, 1), hop):
         frame = wav[start: start + n_fft]
-        if len(frame) < n_fft or float(np.sqrt(np.mean(frame ** 2))) < 0.03:
-            continue  # unvoiced / silence
+        # voiced = louder than half the utterance's own RMS (absolute
+        # thresholds would misjudge quiet Griffin-Lim reconstructions)
+        if len(frame) < n_fft or float(
+                np.sqrt(np.mean(frame ** 2))) < 0.5 * overall:
+            continue
         mag = np.abs(np.fft.rfft(frame * np.hanning(len(frame))))
         peaks.append(np.argmax(mag) * sample_rate / n_fft)
     return float(np.median(peaks)) if peaks else 0.0
