@@ -147,6 +147,80 @@ def test_vctk_feeder_batches_carry_speaker_ids(tmp_path):
     assert seen == {0, 1}
 
 
+def test_alignment_report_per_speaker_synthesis(tmp_path):
+    """End to end on CPU: 2-speaker VCTK corpus -> tiny taco2 train ->
+    checkpoint + run metadata -> alignment_report --speakers drives the
+    no-flags serving restore and writes per-speaker wavs, alignments and
+    median-F0 ratios into report.json."""
+    import json
+    import sys
+
+    mac = _load_script("make_alignment_corpus")
+    corpus = mac.make_corpus(str(tmp_path / "c"), n=4, seed=7,
+                             style="words", speakers=2)
+
+    from nspeech_tpu.data.feeder import DataFeeder
+    from nspeech_tpu.train import (CheckpointManager, create_state,
+                                   make_optimizer, save_run_metadata)
+    from nspeech_tpu.train.loop import build_tacotron_train_step
+
+    cfg = load_config("taco2")
+    cfg.parse("batch_size=2,batch_group_size=2,max_iters=3,"
+              "encoder_conv_layers=1,postnet_conv_layers=1,"
+              "expand_conv_layers=1,encoder_conv_channels=16,"
+              "attention_dim=16,postnet_conv_channels=16,"
+              "expand_conv_channels=16,decoder_lstm_units=16,"
+              "encoder_lstm_units=8,expand_lstm_units=8,embedding_dim=16,"
+              "griffin_lim_iters=2")
+    feeder = DataFeeder({"vctk": corpus}, cfg, bucket_text=16,
+                        bucket_frames=16)
+    cfg.num_speakers = feeder.num_speakers
+    assert cfg.num_speakers == 2
+
+    model = create_model("taco2", cfg)
+    tx, schedule = make_optimizer(cfg, "taco2")
+    step_fn = build_tacotron_train_step(model, tx, schedule=schedule)
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+    batch = next(feeder.epoch_batches(0))
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+
+    run_dir = tmp_path / "run"
+    ckpt_dir = str(run_dir / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    mgr.close()
+    save_run_metadata(ckpt_dir, "taco2", cfg,
+                      speaker_map=feeder.speaker2id)
+    with open(run_dir / "metrics.jsonl", "w") as f:
+        for s in range(3):
+            f.write(json.dumps({"step": s,
+                                "attention_sharpness": 0.1 * (s + 1)}) + "\n")
+
+    ar = _load_script("alignment_report")
+    out = str(tmp_path / "report")
+    argv = ["alignment_report.py", "--run-dir", str(run_dir), "--out", out,
+            "--text", "deep tone.", "--speakers", "0,1"]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        ar.main()
+    finally:
+        sys.argv = old
+
+    with open(os.path.join(out, "report.json")) as f:
+        report = json.load(f)
+    entry = report["texts"][0]
+    assert set(entry["per_speaker"]) == {"0", "1"}
+    assert len(entry.get("f0_ratio_vs_first_speaker", [1, 1])) == 2
+    for spk in (0, 1):
+        assert os.path.isfile(os.path.join(out, "eval-0-spk%d.wav" % spk))
+        assert os.path.isfile(
+            os.path.join(out, "eval-0-spk%d-align.png" % spk))
+
+
 CMUDICT_SAMPLE = """\
 ;;; comment line
 HELLO  HH AH0 L OW1
