@@ -84,12 +84,17 @@ def test_data_parallel_tacotron_step(rng):
 
 def test_sharded_matches_single_device(rng):
     """The 8-way data-parallel step must produce the same update as the
-    unsharded step (same batch, same rng)."""
+    unsharded step (same batch, same rng) — with multi-speaker
+    conditioning on, so the speaker-embedding gather and its psum'd
+    gradient are covered under GSPMD too."""
     cfg = tiny_taco1_cfg()
+    cfg.parse("num_speakers=3")
     model = create_model("taco1", cfg)
     tx, _ = make_optimizer(cfg, "taco1")
     mesh = make_mesh()
     batch = make_batch(rng)
+    batch = batch._replace(
+        speaker_ids=jnp.array(rng.integers(0, 3, (8,)), jnp.int32))
 
     step_sharded = build_tacotron_train_step(model, tx, mesh=mesh)
     step_single = build_tacotron_train_step(model, tx, mesh=None)
