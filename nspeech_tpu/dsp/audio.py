@@ -379,8 +379,14 @@ def _grouped_stft_ops(n_fft: int, hop_length: int, win_length: int,
 
 
 def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
-                        win_length: int, iters: int) -> jnp.ndarray:
-    """Griffin-Lim on the matmul-DFT path; S is the |amplitude| [T, K]."""
+                        win_length: int, iters: int,
+                        momentum: float = 0.0) -> jnp.ndarray:
+    """Griffin-Lim on the matmul-DFT path; S is the |amplitude| [T, K].
+
+    ``momentum`` > 0 is the fast-Griffin-Lim extrapolation (Perraudin et
+    al. 2013): each iterate projects the extrapolated signal
+    ``t_n + momentum * (t_n - t_{n-1})`` instead of ``t_n``; at 0.0 the
+    update is bit-identical to plain Griffin-Lim."""
     n_frames, K = S.shape
     pad = n_fft // 2
     total = n_fft + hop_length * (n_frames - 1)
@@ -393,12 +399,22 @@ def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
     theta = 2.0 * jnp.pi * jax.random.uniform(key, S_g.shape)
     y = to_wav(S_g * jnp.cos(theta), S_g * jnp.sin(theta))
 
-    def body(_, y):
+    def project(y):
         re, im = from_wav(y)
         mag = jnp.maximum(1e-8, jnp.sqrt(re * re + im * im))
         return to_wav(S_g * re / mag, S_g * im / mag)
 
-    y = jax.lax.fori_loop(0, iters, body, y)
+    if momentum:
+        def body(_, carry):
+            c, t_prev = carry
+            t = project(c)
+            return t + momentum * (t - t_prev), t
+
+        # the projected iterate (carry[1]) is the waveform; the
+        # extrapolated carry[0] only seeds the next projection
+        y = jax.lax.fori_loop(0, iters, body, (y, y))[1]
+    else:
+        y = jax.lax.fori_loop(0, iters, lambda _, y: project(y), y)
     return y[pad: total - pad].astype(jnp.float32)   # == istft() trimming
 
 
@@ -406,7 +422,7 @@ def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "win_length", "iters",
-        "ref_level_db", "min_level_db", "power", "matmul_dft",
+        "ref_level_db", "min_level_db", "power", "matmul_dft", "momentum",
     ),
 )
 def _griffin_lim(
@@ -421,6 +437,7 @@ def _griffin_lim(
     min_level_db: float,
     power: float,
     matmul_dft: bool | None = None,
+    momentum: float = 0.0,
 ) -> jnp.ndarray:
     """Normalized linear spectrogram [T, F] -> waveform via Griffin-Lim.
 
@@ -435,18 +452,26 @@ def _griffin_lim(
         matmul_dft = jax.default_backend() not in ("cpu",)
     if matmul_dft:
         return _griffin_lim_matmul(S, key, n_fft, hop_length, win_length,
-                                   iters)
+                                   iters, momentum=momentum)
 
     angles = jnp.exp(2j * jnp.pi * jax.random.uniform(key, S.shape))
     S_complex = S.astype(jnp.complex64)
     y = istft(S_complex * angles, n_fft, hop_length, win_length)
 
-    def body(_, y):
+    def project(y):
         est = stft(y, n_fft, hop_length, win_length)
         angles = est / jnp.maximum(1e-8, jnp.abs(est))
         return istft(S_complex * angles, n_fft, hop_length, win_length)
 
-    y = jax.lax.fori_loop(0, iters, body, y)
+    if momentum:
+        def body(_, carry):
+            c, t_prev = carry
+            t = project(c)
+            return t + momentum * (t - t_prev), t
+
+        y = jax.lax.fori_loop(0, iters, body, (y, y))[1]
+    else:
+        y = jax.lax.fori_loop(0, iters, lambda _, y: project(y), y)
     return y.astype(jnp.float32)
 
 
@@ -469,6 +494,8 @@ def inv_spectrogram(S_norm, cfg: Config, key=None) -> jnp.ndarray:
         ref_level_db=cfg.ref_level_db,
         min_level_db=cfg.min_level_db,
         power=cfg.power,
+        # getattr: run-metadata configs written before this hparam existed
+        momentum=float(getattr(cfg, "griffin_lim_momentum", 0.0)),
     )
 
 
