@@ -339,10 +339,12 @@ def main() -> None:
 
         # Serving latency at the full decode budget (see bench_taco2_serving
         # docstring); vs_baseline = decoded-audio-seconds / latency, i.e.
-        # how many times faster than real time the serving path runs.
+        # how many times faster than real time the serving path runs. The
+        # decode runs under the same global matmul precision as training
+        # (set by bench_taco2_train above), so label it accordingly.
         sec_utt, audio_secs = bench_taco2_serving()
         _emit("taco2_serving_sec_per_utterance_cap", round(sec_utt, 4),
-              "sec", round(audio_secs / sec_utt, 2), "float32")
+              "sec", round(audio_secs / sec_utt, 2), args.precision)
 
 
 if __name__ == "__main__":

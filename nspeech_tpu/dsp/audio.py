@@ -378,6 +378,25 @@ def _grouped_stft_ops(n_fft: int, hop_length: int, win_length: int,
     return regroup, to_wav, from_wav
 
 
+def _gl_iterate(project, y0, iters: int, momentum: float):
+    """Run ``iters`` Griffin-Lim projections from ``y0``.
+
+    With ``momentum`` > 0 this is the fast-Griffin-Lim update (Perraudin
+    et al. 2013): each step projects the extrapolated signal
+    ``t_n + momentum * (t_n - t_{n-1})`` and the PROJECTED iterate is
+    returned (the extrapolation only seeds the next projection). At 0.0
+    it reduces to the plain iteration, bit-identically. Shared by the
+    matmul-DFT and FFT/scatter paths so the update rule cannot drift."""
+    if momentum:
+        def body(_, carry):
+            c, t_prev = carry
+            t = project(c)
+            return t + momentum * (t - t_prev), t
+
+        return jax.lax.fori_loop(0, iters, body, (y0, y0))[1]
+    return jax.lax.fori_loop(0, iters, lambda _, y: project(y), y0)
+
+
 def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
                         win_length: int, iters: int,
                         momentum: float = 0.0) -> jnp.ndarray:
@@ -404,17 +423,7 @@ def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
         mag = jnp.maximum(1e-8, jnp.sqrt(re * re + im * im))
         return to_wav(S_g * re / mag, S_g * im / mag)
 
-    if momentum:
-        def body(_, carry):
-            c, t_prev = carry
-            t = project(c)
-            return t + momentum * (t - t_prev), t
-
-        # the projected iterate (carry[1]) is the waveform; the
-        # extrapolated carry[0] only seeds the next projection
-        y = jax.lax.fori_loop(0, iters, body, (y, y))[1]
-    else:
-        y = jax.lax.fori_loop(0, iters, lambda _, y: project(y), y)
+    y = _gl_iterate(project, y, iters, momentum)
     return y[pad: total - pad].astype(jnp.float32)   # == istft() trimming
 
 
@@ -463,16 +472,7 @@ def _griffin_lim(
         angles = est / jnp.maximum(1e-8, jnp.abs(est))
         return istft(S_complex * angles, n_fft, hop_length, win_length)
 
-    if momentum:
-        def body(_, carry):
-            c, t_prev = carry
-            t = project(c)
-            return t + momentum * (t - t_prev), t
-
-        y = jax.lax.fori_loop(0, iters, body, (y, y))[1]
-    else:
-        y = jax.lax.fori_loop(0, iters, lambda _, y: project(y), y)
-    return y.astype(jnp.float32)
+    return _gl_iterate(project, y, iters, momentum).astype(jnp.float32)
 
 
 def inv_spectrogram(S_norm, cfg: Config, key=None) -> jnp.ndarray:

@@ -76,7 +76,7 @@ def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
     speaker_voice() is directly recoverable from synthesized audio."""
     overall = float(np.sqrt(np.mean(np.square(wav)))) or 1.0
     peaks = []
-    for start in range(0, max(len(wav) - n_fft, 1), hop):
+    for start in range(0, max(len(wav) - n_fft + 1, 1), hop):
         frame = wav[start: start + n_fft]
         # voiced = louder than half the utterance's own RMS (absolute
         # thresholds would misjudge quiet Griffin-Lim reconstructions)
@@ -144,9 +144,13 @@ def main() -> None:
                         monotonicity(align[:n_text], steps), 4),
                     "sharpness": round(float(np.mean(np.max(
                         align[:, :steps], axis=0))), 4),
-                    "median_f0_hz": round(
-                        median_f0(wav, synth.cfg.sample_rate), 1),
                 }
+                if speakers != [-1]:
+                    # F0 is only meaningful for the synthetic corpora
+                    # (FFT-argmax tracks the fundamental there; on real
+                    # speech it can land on a harmonic/formant)
+                    per_speaker[spk]["median_f0_hz"] = round(
+                        median_f0(wav, synth.cfg.sample_rate), 1)
             entry = {"text": text}
             if speakers == [-1]:
                 entry.update(per_speaker[-1])

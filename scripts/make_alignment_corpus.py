@@ -72,13 +72,15 @@ def _char_freq(c: str) -> float:
 def speaker_voice(k: int, n_speakers: int) -> tuple[float, float]:
     """(f_scale, h_tilt) for speaker k of n: frequency scales spread
     geometrically over [0.78, 1.2] (3rd harmonic x max glide x 1.2 stays
-    under the 10 kHz Nyquist) and harmonic tilts over [0.5, 1.6],
-    decorrelated from the f_scale ordering so neither cue alone
-    identifies the speaker."""
+    under the 10 kHz Nyquist) and harmonic tilts over [0.5, 1.6], with
+    the tilt ordering scrambled by a fixed seeded permutation — valid
+    for ANY n (a modular-multiplier scramble degenerates whenever n
+    shares a factor with the multiplier)."""
     if n_speakers <= 1:
         return 1.0, 1.0
     u = k / (n_speakers - 1)
-    t = ((k * 7) % n_speakers) / (n_speakers - 1)
+    perm = np.random.default_rng(97).permutation(n_speakers)
+    t = int(perm[k]) / (n_speakers - 1)
     return 0.78 * (1.2 / 0.78) ** u, 0.5 * (1.6 / 0.5) ** t
 
 
