@@ -14,7 +14,7 @@ State carried between decoder steps is the previous alignment vector
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -69,12 +69,16 @@ class WaveNetVocoder:
 
         self.net = create_model(model_name, self.cfg)
         tx, _ = make_optimizer(self.cfg, model_name)
+        ema = bool(float(getattr(self.cfg, "ema_decay", 0.0)))
         template = jax.eval_shape(
-            lambda: create_state(self.net, tx, jax.random.PRNGKey(0)))
+            lambda: create_state(self.net, tx, jax.random.PRNGKey(0),
+                                 ema=ema))
         mgr = CheckpointManager(checkpoint_dir)
         state = mgr.restore(template, step=step)
         mgr.close()
-        self._params = state.params
+        # prefer the Polyak-averaged weights when the run kept them
+        self._params = (state.ema_params if state.ema_params is not None
+                        else state.params)
         return self
 
     def set_variables(self, net, params) -> "WaveNetVocoder":

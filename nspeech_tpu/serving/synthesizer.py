@@ -68,12 +68,17 @@ class Synthesizer:
             model_name = meta["model"]
         self.model = create_model(model_name, self.cfg)
         tx, _ = make_optimizer(self.cfg, model_name)
+        ema = bool(float(getattr(self.cfg, "ema_decay", 0.0)))
         template = jax.eval_shape(
-            lambda: create_state(self.model, tx, jax.random.PRNGKey(0)))
+            lambda: create_state(self.model, tx, jax.random.PRNGKey(0),
+                                 ema=ema))
         mgr = CheckpointManager(checkpoint_dir)
         state = mgr.restore(template, step=step)
         mgr.close()
-        self.set_variables(state.params, state.bn_state)
+        # Decode with the Polyak-averaged weights when the run kept them
+        # (the Tacotron-2/WaveNet papers' eval-time weights).
+        params = state.ema_params if state.ema_params is not None else state.params
+        self.set_variables(params, state.bn_state)
         return self
 
     def set_variables(self, params, bn_state, model=None) -> "Synthesizer":

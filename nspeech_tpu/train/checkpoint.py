@@ -16,6 +16,17 @@ import orbax.checkpoint as ocp
 from nspeech_tpu.train.loop import TrainState
 
 
+def _as_tree(state: TrainState) -> dict:
+    """TrainState -> checkpointable dict. A disabled (None) ema_params
+    field is dropped so EMA-off checkpoints keep the exact pre-EMA
+    layout — old checkpoints restore unchanged, and TrainState's field
+    default fills the gap on load."""
+    d = state._asdict()
+    if d.get("ema_params") is None:
+        del d["ema_params"]
+    return d
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5,
                  keep_period_hours: float = 2.0):
@@ -29,7 +40,7 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
     def save(self, step: int, state: TrainState) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+        self._mgr.save(step, args=ocp.args.StandardSave(_as_tree(state)))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -54,7 +65,7 @@ class CheckpointManager:
             sds = ocp.utils.to_shape_dtype_struct(x)
             return jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=sharding)
 
-        template = jax.tree_util.tree_map(to_template, state_like._asdict())
+        template = jax.tree_util.tree_map(to_template, _as_tree(state_like))
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         return TrainState(**restored)

@@ -28,16 +28,32 @@ class TrainState(NamedTuple):
     params: Any
     bn_state: Any
     opt_state: Any
+    # Polyak/EMA average of params, kept when cfg.ema_decay > 0 (the
+    # weight-averaging trick of the Tacotron-2 and WaveNet papers);
+    # None when disabled — checkpoints then carry no extra leaves.
+    ema_params: Any = None
 
 
-def create_state(model, optimizer, rng) -> TrainState:
+def create_state(model, optimizer, rng, ema: bool = False) -> TrainState:
     init = model.init(rng)
     if isinstance(init, tuple):
         params, bn_state = init
     else:
         params, bn_state = init, {}
     opt_state = optimizer.init(params)
-    return TrainState(jnp.zeros((), jnp.int32), params, bn_state, opt_state)
+    # the average starts AT the params but must not alias their buffers
+    # (the jitted step donates the whole state; aliased leaves would be
+    # donated twice)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema else None
+    return TrainState(jnp.zeros((), jnp.int32), params, bn_state, opt_state,
+                      ema_params)
+
+
+def _ema_update(ema, new_params, decay: float):
+    if not decay or ema is None:
+        return ema
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + (1.0 - decay) * p, ema, new_params)
 
 
 def _global_norm(tree) -> jnp.ndarray:
@@ -55,7 +71,8 @@ def _leaf_norms(tree) -> jnp.ndarray:
 
 def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
                               multi_speaker: Optional[bool] = None,
-                              deferred_dw: Optional[bool] = None):
+                              deferred_dw: Optional[bool] = None,
+                              ema_decay: float = 0.0):
     """Train step for taco1/taco2 on a data.feeder.Batch.
 
     ``deferred_dw`` (default: on when the model supports it) accumulates
@@ -95,7 +112,9 @@ def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
         metrics["grad_norms"] = _leaf_norms(grads)  # per-weight, for TB hist
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
-        new_state = TrainState(state.step + 1, new_params, new_bn, new_opt)
+        new_state = TrainState(
+            state.step + 1, new_params, new_bn, new_opt,
+            _ema_update(state.ema_params, new_params, ema_decay))
         return new_state, metrics
 
     return _jit_step(step_fn, mesh)
@@ -104,7 +123,8 @@ def build_tacotron_train_step(model, optimizer, mesh=None, schedule=None,
 def build_wavenet_train_step(net, optimizer, cfg: Config, mesh=None,
                              schedule=None, use_gc: bool = False,
                              use_lc: bool = False,
-                             l2_strength: Optional[float] = None):
+                             l2_strength: Optional[float] = None,
+                             ema_decay: float = 0.0):
     """Train step for WaveNet on a wavenet_feeder.WaveNetBatch."""
 
     def step_fn(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
@@ -135,7 +155,9 @@ def build_wavenet_train_step(net, optimizer, cfg: Config, mesh=None,
         metrics["grad_norms"] = _leaf_norms(grads)  # per-weight, for TB hist
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
-        new_state = TrainState(state.step + 1, new_params, state.bn_state, new_opt)
+        new_state = TrainState(
+            state.step + 1, new_params, state.bn_state, new_opt,
+            _ema_update(state.ema_params, new_params, ema_decay))
         return new_state, metrics
 
     return _jit_step(step_fn, mesh)

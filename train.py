@@ -72,8 +72,11 @@ def train(log_dir: str, args, cfg) -> None:
     mesh = pick_mesh(cfg.batch_size)
     if mesh is not None:
         log("Data-parallel over %d devices" % mesh.devices.size)
-    step_fn = build_tacotron_train_step(model, tx, mesh=mesh, schedule=schedule)
-    state = create_state(model, tx, jax.random.PRNGKey(args.seed))
+    ema = float(getattr(cfg, "ema_decay", 0.0))
+    step_fn = build_tacotron_train_step(model, tx, mesh=mesh,
+                                        schedule=schedule, ema_decay=ema)
+    state = create_state(model, tx, jax.random.PRNGKey(args.seed),
+                         ema=bool(ema))
 
     if args.device_cache:
         from nspeech_tpu.data.device_cache import DeviceCachedBatches

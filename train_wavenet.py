@@ -62,10 +62,12 @@ def train_wavenet(log_dir: str, args, cfg) -> None:
     mesh = pick_mesh(cfg.batch_size)
     if mesh is not None:
         log("Data-parallel over %d devices" % mesh.devices.size)
+    ema = float(getattr(cfg, "ema_decay", 0.0))
     step_fn = build_wavenet_train_step(
         net, tx, cfg, mesh=mesh, schedule=schedule,
-        use_gc=use_gc, use_lc=use_lc, l2_strength=l2)
-    state = create_state(net, tx, jax.random.PRNGKey(args.seed))
+        use_gc=use_gc, use_lc=use_lc, l2_strength=l2, ema_decay=ema)
+    state = create_state(net, tx, jax.random.PRNGKey(args.seed),
+                         ema=bool(ema))
 
     run_training(
         log_dir, state, step_fn, feeder.batches(), mesh,
