@@ -115,4 +115,6 @@ def shard_train_state(state, mesh: Mesh, rules=TACO2_TP_RULES):
     bn_state = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), state.bn_state)
     step = jax.device_put(state.step, repl)
-    return TrainState(step, params, bn_state, opt_state)
+    ema = (None if state.ema_params is None else jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), state.ema_params))
+    return TrainState(step, params, bn_state, opt_state, ema)

@@ -86,7 +86,8 @@ def make_time_sharded_logits(net, mesh: Mesh, axis: str = DATA_AXIS,
 def build_time_sharded_wavenet_step(net, optimizer, mesh: Mesh,
                                     axis: str = DATA_AXIS,
                                     use_gc: bool = False, use_lc: bool = False,
-                                    schedule=None, cfg=None):
+                                    schedule=None, cfg=None,
+                                    ema_decay: float = 0.0):
     """Jitted train step on time-sharded long audio windows.
 
     state/batch contract matches train.loop.build_wavenet_train_step but the
@@ -96,7 +97,7 @@ def build_time_sharded_wavenet_step(net, optimizer, mesh: Mesh,
     pass ``cfg`` (for the hop length) when using that layout.
     """
     from nspeech_tpu.ops.upsample import batch_lc
-    from nspeech_tpu.train.loop import TrainState, _global_norm
+    from nspeech_tpu.train.loop import TrainState, _ema_update, _global_norm
 
     logits_fn = make_time_sharded_logits(net, mesh, axis, use_gc, use_lc)
     repl = NamedSharding(mesh, P())
@@ -121,6 +122,8 @@ def build_time_sharded_wavenet_step(net, optimizer, mesh: Mesh,
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
         return TrainState(state.step + 1, new_params, state.bn_state,
-                          new_opt), metrics
+                          new_opt,
+                          _ema_update(state.ema_params, new_params,
+                                      ema_decay)), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -64,21 +64,11 @@ class WaveNetVocoder:
     def load(self, checkpoint_dir: str, model_name: str = "wavenet",
              step: Optional[int] = None) -> "WaveNetVocoder":
         from nspeech_tpu.models import create_model
-        from nspeech_tpu.train import (
-            CheckpointManager, create_state, make_optimizer)
+        from nspeech_tpu.train import load_serving_params
 
         self.net = create_model(model_name, self.cfg)
-        tx, _ = make_optimizer(self.cfg, model_name)
-        ema = bool(float(getattr(self.cfg, "ema_decay", 0.0)))
-        template = jax.eval_shape(
-            lambda: create_state(self.net, tx, jax.random.PRNGKey(0),
-                                 ema=ema))
-        mgr = CheckpointManager(checkpoint_dir)
-        state = mgr.restore(template, step=step)
-        mgr.close()
-        # prefer the Polyak-averaged weights when the run kept them
-        self._params = (state.ema_params if state.ema_params is not None
-                        else state.params)
+        self._params, _ = load_serving_params(
+            checkpoint_dir, self.net, self.cfg, model_name, step=step)
         return self
 
     def set_variables(self, net, params) -> "WaveNetVocoder":

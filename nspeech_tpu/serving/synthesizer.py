@@ -55,9 +55,7 @@ class Synthesizer:
         """Restore parameters from an Orbax checkpoint directory (latest step
         unless ``step`` is given). ``model_name`` defaults to the persisted
         run metadata's model."""
-        from nspeech_tpu.train import (
-            CheckpointManager, create_state, load_run_metadata,
-            make_optimizer)
+        from nspeech_tpu.train import load_run_metadata, load_serving_params
 
         if model_name is None:
             meta = load_run_metadata(checkpoint_dir)
@@ -67,18 +65,9 @@ class Synthesizer:
                     % checkpoint_dir)
             model_name = meta["model"]
         self.model = create_model(model_name, self.cfg)
-        tx, _ = make_optimizer(self.cfg, model_name)
-        ema = bool(float(getattr(self.cfg, "ema_decay", 0.0)))
-        template = jax.eval_shape(
-            lambda: create_state(self.model, tx, jax.random.PRNGKey(0),
-                                 ema=ema))
-        mgr = CheckpointManager(checkpoint_dir)
-        state = mgr.restore(template, step=step)
-        mgr.close()
-        # Decode with the Polyak-averaged weights when the run kept them
-        # (the Tacotron-2/WaveNet papers' eval-time weights).
-        params = state.ema_params if state.ema_params is not None else state.params
-        self.set_variables(params, state.bn_state)
+        params, bn_state = load_serving_params(
+            checkpoint_dir, self.model, self.cfg, model_name, step=step)
+        self.set_variables(params, bn_state)
         return self
 
     def set_variables(self, params, bn_state, model=None) -> "Synthesizer":

@@ -1,6 +1,9 @@
 """Training: optimizers, jitted steps, checkpointing."""
 
-from nspeech_tpu.train.checkpoint import CheckpointManager  # noqa: F401
+from nspeech_tpu.train.checkpoint import (  # noqa: F401
+    CheckpointManager,
+    load_serving_params,
+)
 from nspeech_tpu.train.loop import (  # noqa: F401
     TrainState,
     build_tacotron_train_step,

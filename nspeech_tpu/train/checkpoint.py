@@ -11,6 +11,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from nspeech_tpu.train.loop import TrainState
@@ -66,8 +67,29 @@ class CheckpointManager:
             return jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=sharding)
 
         template = jax.tree_util.tree_map(to_template, _as_tree(state_like))
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except ValueError:
+            # ema_decay toggled between save and restore: the on-disk tree
+            # and the template differ only by the optional ema_params
+            # subtree (same leaves as params). Retry with the other
+            # layout, then honor the CALLER's intent below; any unrelated
+            # structure mismatch fails again here and surfaces.
+            alt = dict(template)
+            if "ema_params" in alt:
+                del alt["ema_params"]
+            else:
+                alt["ema_params"] = template["params"]
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(alt))
+            if "ema_params" in template:
+                # EMA newly enabled: seed the average at the restored params
+                restored["ema_params"] = jax.tree_util.tree_map(
+                    jnp.copy, restored["params"])
+            else:
+                # EMA disabled by the caller: drop the checkpoint's average
+                restored.pop("ema_params", None)
         return TrainState(**restored)
 
     def wait(self) -> None:
@@ -75,3 +97,27 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def load_serving_params(checkpoint_dir: str, model, cfg, model_name: str,
+                        step: Optional[int] = None):
+    """Restore ``(params, bn_state)`` for inference — the ONE place that
+    encodes the serving restore policy: the TrainState template is built
+    from the model/config (including the EMA field when
+    ``cfg.ema_decay > 0``, which travels in run metadata), and the
+    Polyak-averaged weights are preferred when the checkpoint carries
+    them (the eval-time weights of the Tacotron-2/WaveNet papers).
+    Used by Synthesizer, WaveNetVocoder and generate_wavenet."""
+    from nspeech_tpu.train.loop import create_state
+    from nspeech_tpu.train.optim import make_optimizer
+
+    tx, _ = make_optimizer(cfg, model_name)
+    ema = bool(float(getattr(cfg, "ema_decay", 0.0)))
+    template = jax.eval_shape(
+        lambda: create_state(model, tx, jax.random.PRNGKey(0), ema=ema))
+    mgr = CheckpointManager(checkpoint_dir)
+    state = mgr.restore(template, step=step)
+    mgr.close()
+    params = (state.ema_params if state.ema_params is not None
+              else state.params)
+    return params, state.bn_state

@@ -146,9 +146,11 @@ def main() -> None:
                         align[:, :steps], axis=0))), 4),
                 }
                 if speakers != [-1]:
-                    # F0 is only meaningful for the synthetic corpora
-                    # (FFT-argmax tracks the fundamental there; on real
-                    # speech it can land on a harmonic/formant)
+                    # Reported only for --speakers runs: per-speaker F0
+                    # ratios are the speaker-conditioning evidence, and
+                    # that flow targets the synthetic corpora where
+                    # FFT-argmax tracks the fundamental (on real speech
+                    # it can land on a harmonic/formant — caveat lector).
                     per_speaker[spk]["median_f0_hz"] = round(
                         median_f0(wav, synth.cfg.sample_rate), 1)
             entry = {"text": text}

@@ -32,6 +32,7 @@ Usage: python scripts/make_alignment_corpus.py <out_dir> [n_utt] [seed]
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 
@@ -79,9 +80,13 @@ def speaker_voice(k: int, n_speakers: int) -> tuple[float, float]:
     if n_speakers <= 1:
         return 1.0, 1.0
     u = k / (n_speakers - 1)
-    perm = np.random.default_rng(97).permutation(n_speakers)
-    t = int(perm[k]) / (n_speakers - 1)
+    t = int(_tilt_perm(n_speakers)[k]) / (n_speakers - 1)
     return 0.78 * (1.2 / 0.78) ** u, 0.5 * (1.6 / 0.5) ** t
+
+
+@functools.lru_cache(maxsize=None)
+def _tilt_perm(n_speakers: int):
+    return tuple(np.random.default_rng(97).permutation(n_speakers))
 
 
 def render_char(c: str, dur: float, sample_rate: int,

@@ -101,6 +101,47 @@ def test_ema_checkpoint_roundtrip_and_serving_preference(rng, tmp_path):
     assert not np.allclose(np.asarray(got), np.asarray(raw))
 
 
+def test_ema_toggle_between_save_and_restore(rng, tmp_path):
+    """Restore must survive ema_decay being toggled after the save:
+    enabling EMA on resume seeds the average at the restored params;
+    disabling it drops the checkpoint's average (caller intent wins)."""
+    cfg = tiny_cfg()
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+
+    # saved WITHOUT ema, restored WITH: average seeded from params
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+    ckpt_a = str(tmp_path / "a")
+    mgr = CheckpointManager(ckpt_a)
+    mgr.save(0, state)
+    mgr.wait()
+    tmpl_ema = jax.eval_shape(
+        lambda: create_state(model, tx, jax.random.PRNGKey(0), ema=True))
+    restored = mgr.restore(tmpl_ema)
+    mgr.close()
+    assert restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]))
+
+    # saved WITH ema, restored WITHOUT: average dropped
+    step = build_tacotron_train_step(model, tx, ema_decay=0.9)
+    state = create_state(model, tx, jax.random.PRNGKey(0), ema=True)
+    state, _ = step(state, make_batch(rng), jax.random.PRNGKey(1))
+    ckpt_b = str(tmp_path / "b")
+    mgr = CheckpointManager(ckpt_b)
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    tmpl_plain = jax.eval_shape(
+        lambda: create_state(model, tx, jax.random.PRNGKey(0)))
+    restored = mgr.restore(tmpl_plain)
+    mgr.close()
+    assert restored.ema_params is None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), atol=1e-7)
+
+
 def test_checkpoint_without_ema_keeps_old_layout(rng, tmp_path):
     """ema off (the default) adds NO leaves to the checkpoint and
     restores with ema_params None — pre-EMA checkpoints stay loadable."""
