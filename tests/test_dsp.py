@@ -165,10 +165,15 @@ def test_griffin_lim_reconstructs_tone():
     assert abs(peak_freq - 440.0) < 15.0
 
 
-def test_griffin_lim_momentum_converges_further():
+@pytest.mark.parametrize("matmul_dft,iters", [(False, 8), (True, 40)])
+def test_griffin_lim_momentum_converges_further(matmul_dft, iters):
     """Fast Griffin-Lim (griffin_lim_momentum > 0) must reach a lower
     spectral-convergence error than the plain iteration at the same
-    iteration count; momentum=0.0 keeps the parity default."""
+    iteration count, on BOTH the FFT/scatter and the matmul-DFT (TPU)
+    paths; momentum=0.0 keeps the parity default. The matmul path is
+    checked at more iterations: its (documented) padded-domain boundary
+    deviation dominates the error early, so the momentum separation
+    emerges later (measured: 3%% at 8 iters, 22%% at 40)."""
     from nspeech_tpu.config import stft_params
     from nspeech_tpu.dsp.audio import (_griffin_lim, db_to_amp, denormalize,
                                        stft)
@@ -187,9 +192,9 @@ def test_griffin_lim_momentum_converges_further():
     def spectral_err(momentum):
         wav = _griffin_lim(
             jnp.asarray(lin, jnp.float32), jax.random.PRNGKey(3),
-            n_fft=n_fft, hop_length=hop, win_length=win, iters=8,
+            n_fft=n_fft, hop_length=hop, win_length=win, iters=iters,
             ref_level_db=cfg.ref_level_db, min_level_db=cfg.min_level_db,
-            power=cfg.power, momentum=momentum)
+            power=cfg.power, matmul_dft=matmul_dft, momentum=momentum)
         est = np.abs(np.asarray(stft(wav, n_fft, hop, win)))
         return float(np.linalg.norm(est - S) / np.linalg.norm(S))
 
