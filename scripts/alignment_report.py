@@ -69,13 +69,22 @@ def monotonicity(align: np.ndarray, steps_used: int) -> float:
 
 
 def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
-              hop: int = 512) -> float:
-    """Median over voiced frames of the FFT-peak frequency — for the
-    synthetic alignment corpora (harmonics < fundamental amplitude) this
-    tracks the fundamental, so the per-speaker frequency scale of
-    speaker_voice() is directly recoverable from synthesized audio."""
+              hop: int = 512, f_min: float = 80.0,
+              f_max: float = 3500.0) -> float:
+    """Median over voiced frames of a harmonic-product-spectrum F0.
+
+    A plain FFT-argmax lands on whichever partial is loudest, which for
+    speakers with harmonic tilt > 1 (speaker_voice() spreads tilts over
+    [0.5, 1.6]) is the 2nd/3rd harmonic, not the fundamental — observed
+    as per-speaker "F0" ratios of 1.01 and 4.3 for the same voice pair.
+    The HPS multiplies the spectrum with itself decimated by 2 and 3, so
+    only the true fundamental keeps support at every harmonic; it is
+    tilt-invariant for the corpora's 3-partial recipe."""
     overall = float(np.sqrt(np.mean(np.square(wav)))) or 1.0
     peaks = []
+    lo = max(1, int(f_min * n_fft / sample_rate))
+    # cap so every candidate bin has all three harmonic terms available
+    hi = min(int(f_max * n_fft / sample_rate), (n_fft // 2 + 1 + 2) // 3)
     for start in range(0, max(len(wav) - n_fft + 1, 1), hop):
         frame = wav[start: start + n_fft]
         # voiced = louder than half the utterance's own RMS (absolute
@@ -84,7 +93,11 @@ def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
                 np.sqrt(np.mean(frame ** 2))) < 0.5 * overall:
             continue
         mag = np.abs(np.fft.rfft(frame * np.hanning(len(frame))))
-        peaks.append(np.argmax(mag) * sample_rate / n_fft)
+        hps = np.log(mag[:hi] + 1e-9).copy()
+        for h in (2, 3):
+            dec = mag[::h][:hi]
+            hps[:len(dec)] += np.log(dec + 1e-9)
+        peaks.append((lo + int(np.argmax(hps[lo:]))) * sample_rate / n_fft)
     return float(np.median(peaks)) if peaks else 0.0
 
 
@@ -140,6 +153,10 @@ def main() -> None:
                 per_speaker[spk] = {
                     "decoder_steps": steps,
                     "seconds": round(len(wav) / synth.cfg.sample_rate, 2),
+                    # near-zero RMS means the decoder free-ran to silence:
+                    # alignment/monotonicity numbers alone can look fine
+                    # on an undertrained checkpoint that emits no audio
+                    "rms": round(float(np.sqrt(np.mean(wav ** 2))), 4),
                     "monotonicity": round(
                         monotonicity(align[:n_text], steps), 4),
                     "sharpness": round(float(np.mean(np.max(
