@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -254,7 +255,35 @@ def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
     }), flush=True)
 
 
+def _require_live_relay() -> None:
+    """Fail fast (one diagnosable JSON line) when the axon TPU relay is
+    down instead of hanging forever in backend init.
+
+    This testbed reaches its one v5e through a localhost relay
+    (JAX_PLATFORMS=axon); when the relay process is dead, jax's first
+    device use blocks indefinitely rather than erroring, which would
+    turn a driver bench invocation into a silent timeout."""
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    s = socket.socket()
+    s.settimeout(2)
+    try:
+        s.connect(("127.0.0.1", 8082))
+    except OSError as e:
+        print(json.dumps({
+            "metric": "taco2_train_mel_frames_per_sec_per_chip",
+            "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
+            "error": "TPU relay unreachable (127.0.0.1:8082): %s" % e,
+        }), flush=True)
+        raise SystemExit(1)
+    finally:
+        s.close()
+
+
 def main() -> None:
+    _require_live_relay()
     # Persistent XLA compilation cache: a bench invocation with
     # already-seen programs (e.g. the driver's round-end run after a
     # warm-up) skips the multi-minute big-model compiles.
