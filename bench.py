@@ -283,22 +283,28 @@ def _require_live_relay() -> None:
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--all", action="store_true",
+                        help="Accepted for compatibility; every metric is "
+                             "emitted by default (on CPU-only hosts the "
+                             "Pallas sampling / vocoder / serving metrics "
+                             "are skipped — the kernel needs a TPU)")
+    parser.add_argument("--steps", type=int, default=10,
+                        help="timed steps per training bench (Tacotron-2 "
+                             "and both WaveNet configurations)")
+    parser.add_argument("--batch-size", type=int, default=32,
+                        help="Tacotron-2 training bench batch size (the "
+                             "WaveNet benches keep their own default)")
+    parser.add_argument("--precision", default="bfloat16",
+                        choices=["bfloat16", "tensorfloat32", "highest"])
+    args = parser.parse_args()
+
     _require_live_relay()
     # Persistent XLA compilation cache: a bench invocation with
     # already-seen programs (e.g. the driver's round-end run after a
     # warm-up) skips the multi-minute big-model compiles.
     from nspeech_tpu.utils.platform import set_platform
     set_platform(None)
-
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--all", action="store_true",
-                        help="Accepted for compatibility; every metric is "
-                             "emitted by default")
-    parser.add_argument("--steps", type=int, default=10)
-    parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--precision", default="bfloat16",
-                        choices=["bfloat16", "tensorfloat32", "highest"])
-    args = parser.parse_args()
 
     frames_per_sec, sec_per_step, mfu = bench_taco2_train(
         batch_size=args.batch_size, steps=args.steps,
@@ -316,11 +322,12 @@ def main() -> None:
     # WaveNet TRAINING throughput — the reference's second trainer
     # (train_wavenet.py) — emitted by default so every driver-captured
     # bench file carries training AND sampling numbers for both families.
-    rate_tr = bench_wavenet_train(precision=args.precision)
+    rate_tr = bench_wavenet_train(steps=args.steps, precision=args.precision)
     _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
           "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
           args.precision)
-    rate_tr_lc = bench_wavenet_train(precision=args.precision, use_lc=True)
+    rate_tr_lc = bench_wavenet_train(steps=args.steps,
+                                     precision=args.precision, use_lc=True)
     _emit("wavenet_train_lc_samples_per_sec_per_chip", round(rate_tr_lc, 1),
           "samples/sec/chip", round(rate_tr_lc / 20000.0 / 5.0, 4),
           args.precision)
@@ -328,6 +335,12 @@ def main() -> None:
     # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
     # are MXU-latency-bound; bf16 measured no faster). The TPU kernel does
     # not lower on CPU-only hosts — skip rather than crash mid-run there.
+    if jax.default_backend() in ("cpu",):
+        import sys
+
+        print("bench: skipping Pallas sampling / vocoder / serving metrics "
+              "(TPU-only; backend is %s)" % jax.default_backend(),
+              file=sys.stderr)
     if jax.default_backend() not in ("cpu",):
         rate, rtf = bench_wavenet_generate(batch=1)
         _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),

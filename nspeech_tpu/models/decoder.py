@@ -173,6 +173,36 @@ def guided_attention_penalty(
             / jnp.maximum(jnp.sum(valid), 1))
 
 
+def maybe_guided_attention(cfg, alignments, input_lengths, mel_targets,
+                           is_training: bool):
+    """The models' shared guided-attention gate: the penalty above when
+    training with targets and ``guided_attention_weight`` > 0, else None.
+
+    ``out_steps`` is derived from the LAST voiced frame index (not a
+    voiced-frame count: interior clipped-silence frames can be exactly
+    zero and must not shrink the valid decoder window)."""
+    if not (is_training and mel_targets is not None
+            and cfg.get("guided_attention_weight", 0.0) > 0.0):
+        return None
+    voiced = jnp.any(mel_targets != 0.0, axis=-1)
+    t_out = mel_targets.shape[1]
+    last = jnp.max(jnp.where(voiced, jnp.arange(t_out)[None, :], -1), axis=-1)
+    out_steps = jnp.ceil((last + 1) / cfg.outputs_per_step).astype(jnp.int32)
+    return guided_attention_penalty(
+        alignments, input_lengths, out_steps,
+        cfg.get("guided_attention_sigma", 0.2))
+
+
+def apply_guided_loss(cfg, outputs, loss, metrics):
+    """Add the weighted guided penalty (when forward() computed one) to
+    ``loss`` and record it in ``metrics``; shared by both Tacotrons."""
+    if "guided_attention" in outputs:
+        ga = outputs["guided_attention"]
+        loss = loss + cfg.guided_attention_weight * ga
+        metrics["loss_guided_attention"] = ga
+    return loss
+
+
 def assemble_outputs(outs: jnp.ndarray, num_mels: int) -> jnp.ndarray:
     """[S, N, r*M] decoder outputs -> [N, S*r, M] mel frames."""
     s, n, rm = outs.shape

@@ -272,21 +272,8 @@ class Tacotron1:
 
         mel_outputs = D.assemble_outputs(outs, cfg.num_mels)
         alignments = D.assemble_alignments(aligns)
-        guided = None
-        if (is_training and mel_targets is not None
-                and cfg.get("guided_attention_weight", 0.0) > 0.0):
-            # last VOICED frame index (not a count: interior clipped-
-            # silence frames can be exactly zero and must not shrink the
-            # valid decoder window)
-            voiced = jnp.any(mel_targets != 0.0, axis=-1)
-            t_out = mel_targets.shape[1]
-            last = jnp.max(jnp.where(voiced, jnp.arange(t_out)[None, :], -1),
-                           axis=-1)
-            out_steps = jnp.ceil(
-                (last + 1) / cfg.outputs_per_step).astype(jnp.int32)
-            guided = D.guided_attention_penalty(
-                alignments, input_lengths, out_steps,
-                cfg.get("guided_attention_sigma", 0.2))
+        guided = D.maybe_guided_attention(
+            cfg, alignments, input_lengths, mel_targets, is_training)
 
         post_out, post_state = M.cbhg(
             params["post_cbhg"], state["post_cbhg"], self._post_meta,
@@ -318,10 +305,7 @@ class Tacotron1:
         loss = mel_loss + linear_loss
         metrics = {"loss_mel": mel_loss, "loss_linear": linear_loss,
                    "attention_sharpness": _attention_sharpness(outputs)}
-        if "guided_attention" in outputs:
-            ga = outputs["guided_attention"]
-            loss = loss + cfg.guided_attention_weight * ga
-            metrics["loss_guided_attention"] = ga
+        loss = D.apply_guided_loss(cfg, outputs, loss, metrics)
         metrics["loss"] = loss
         return loss, metrics
 
