@@ -134,9 +134,15 @@ def train(log_dir: str, args, cfg) -> None:
         voiced = np.flatnonzero(np.abs(np.asarray(b.mel_targets[i])).sum(-1))
         last_frame = int(voiced[-1]) + 1 if len(voiced) else 0
         s_used = -(-last_frame // cfg.outputs_per_step)
+        # NOTE: teacher-forced (mel_targets drives the decoder inputs, like
+        # the reference's training-graph dumps) — an undertrained model can
+        # sound fine here while free-running to silence; judge serving
+        # quality with scripts/alignment_report.py, which decodes
+        # autoregressively.
         plot.plot_alignment(np.asarray(align)[:t_in, :s_used + 2],
                             base + "-align.png",
-                            info="%s, %s, step=%d" % (args.model, time_string(), step))
+                            info="%s, %s, step=%d (teacher-forced)"
+                                 % (args.model, time_string(), step))
         plot.plot_wave(wav, cfg.sample_rate, base + "-wav.png", text)
         plot.plot_specgram(np.asarray(lin), base + "-lin.png", "linear")
         plot.plot_specgram(np.asarray(mel), base + "-mel.png", "mel")
