@@ -125,6 +125,26 @@ def test_multispeaker_alignment_corpus(tmp_path):
     assert abs(f0[1] / f0[0] - expected) / expected < 0.25, (f0, expected)
 
 
+def test_median_f0_ignores_dominant_harmonics():
+    """HPS pins the fundamental even when the 2nd/3rd partials are LOUDER
+    (harmonic tilt > 1 speakers): the exact case where an FFT-argmax
+    estimator reported a harmonic (observed: per-speaker "F0" ratios of
+    1.01 and 4.35 for a designed 1.54 voice pair)."""
+    ar = _load_script("alignment_report")
+    sr, f0 = 20000, 400.0
+    t = np.arange(sr) / sr
+    wav = (0.3 * np.sin(2 * np.pi * f0 * t)
+           + 0.8 * np.sin(2 * np.pi * 2 * f0 * t)
+           + 0.6 * np.sin(2 * np.pi * 3 * f0 * t)).astype(np.float32)
+    est = ar.median_f0(wav, sr)
+    # n_fft=2048 at 20 kHz -> ~9.8 Hz bins; allow a couple of bins
+    assert abs(est - f0) < 25.0, est
+    # naive argmax control: the loudest partial is 2*f0, so an estimator
+    # that tracked the peak would sit near 800 Hz
+    mag = np.abs(np.fft.rfft(wav[:2048] * np.hanning(2048)))
+    assert abs(np.argmax(mag) * sr / 2048 - 2 * f0) < 25.0
+
+
 def test_vctk_feeder_batches_carry_speaker_ids(tmp_path):
     """A VCTK-layout corpus flows through DataFeeder end to end: batches
     carry the global speaker ids from the deterministic speaker map and
