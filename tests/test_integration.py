@@ -97,6 +97,36 @@ def test_train_checkpoint_restore_synthesize(corpus, tmp_path):
     assert captured["status"].startswith("404")
 
 
+def test_freerun_preview_artifacts(corpus, tmp_path):
+    """--freerun-preview dumps autoregressive (serving-path) audio +
+    alignment at each checkpoint and logs freerun_rms /
+    freerun_decoder_steps — the exposure-bias canary that teacher-forced
+    previews cannot provide (a checkpoint can preview perfectly while
+    free-running to silence)."""
+    import json
+
+    import train as train_cli
+
+    args = train_cli.build_parser().parse_args([
+        "--ljspeech", corpus, "--model", "taco1",
+        "--log-dir", str(tmp_path), "--max-steps", "2",
+        "--checkpoint-interval", "2", "--summary-interval", "2",
+        "--freerun-preview", "--seed", "1"])
+    log_dir = str(tmp_path / "run")
+    os.makedirs(log_dir, exist_ok=True)
+    train_cli.train(log_dir, args, micro_cfg())
+
+    assert os.path.exists(os.path.join(log_dir, "step-000002-freerun.wav"))
+    assert os.path.exists(
+        os.path.join(log_dir, "step-000002-freerun-align.png"))
+    with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    fr = [r for r in recs if "freerun_rms" in r]
+    assert fr, recs
+    assert np.isfinite(fr[-1]["freerun_rms"])
+    assert 1 <= fr[-1]["freerun_decoder_steps"] <= micro_cfg().max_iters
+
+
 def test_batch_synthesis_and_batch_route(corpus, tmp_path):
     """synthesize_batch: one padded forward for N texts; /synthesize_batch
     returns a zip of wavs (BASELINE config #5 batch serving)."""

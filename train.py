@@ -112,6 +112,18 @@ def train(log_dir: str, args, cfg) -> None:
         return (outputs["linear_outputs"][0], outputs["mel_outputs"][0],
                 outputs["alignments"][0], wav)
 
+    @jax.jit
+    def freerun_fn(params, bn_state, inputs, lengths, speakers):
+        # AUTOREGRESSIVE decode (mel_targets=None): the honest serving-path
+        # preview. A checkpoint with perfect teacher-forced previews can
+        # still free-run to silence (exposure bias) — this surfaces that
+        # during training instead of at first deployment.
+        outputs, _ = model.forward(
+            params, bn_state, inputs, lengths, speaker_ids=speakers,
+            mel_targets=None, is_training=False)
+        wav = dsp.inv_spectrogram(outputs["linear_outputs"][0], cfg)
+        return (outputs["alignments"][0], outputs["decoder_steps"][0], wav)
+
     def artifact_fn(state, step, writer=None):
         b = preview[0]
         if b is None:
@@ -152,6 +164,30 @@ def train(log_dir: str, args, cfg) -> None:
             writer.audio(step, "eval_audio", wav, cfg.sample_rate)
         log("Dumped artifacts for step %d (input: %s)" % (step, text))
 
+        if args.freerun_preview:
+            fr_align, fr_steps, fr_wav = freerun_fn(
+                state.params, state.bn_state, b.inputs[i:i + 1],
+                b.input_lengths[i:i + 1], b.speaker_ids[i:i + 1])
+            fr_wav = np.asarray(dsp.inv_preemphasis(fr_wav, cfg.preemphasis))
+            fr_steps = int(fr_steps)
+            # UNTRIMMED audio + full-frame RMS: silence must stay audible
+            # in the artifact and visible in the metric.
+            hop = config.stft_params(cfg)[1]
+            fr_rms = float(np.sqrt(np.mean(np.square(
+                fr_wav[: fr_steps * cfg.outputs_per_step * hop]))))
+            dsp.save_wav(fr_wav, base + "-freerun.wav", cfg.sample_rate)
+            plot.plot_alignment(
+                np.asarray(fr_align)[:t_in, :fr_steps],
+                base + "-freerun-align.png",
+                info="%s, %s, step=%d (free-running)"
+                     % (args.model, time_string(), step))
+            if writer is not None:
+                writer.scalars(step, {"freerun_rms": fr_rms,
+                                      "freerun_decoder_steps": fr_steps})
+                writer.audio(step, "freerun_audio", fr_wav, cfg.sample_rate)
+            log("Free-run preview at step %d: rms=%.04f decoder_steps=%d"
+                % (step, fr_rms, fr_steps))
+
     run_training(
         log_dir, state, step_fn, wrapped_batches(), mesh,
         jax.random.PRNGKey(args.seed + 1),
@@ -190,6 +226,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "batches in device HBM and stream them with "
                              "no per-step host transfer (0 = stream from "
                              "host)")
+    parser.add_argument("--freerun-preview", action="store_true",
+                        help="At each checkpoint, ALSO decode the preview "
+                             "utterance autoregressively (the serving path) "
+                             "and dump step-*-freerun.wav/-align.png plus "
+                             "freerun_rms / freerun_decoder_steps metrics — "
+                             "catches exposure bias (free-running to "
+                             "silence) that teacher-forced previews hide")
     parser.add_argument("--cmudict-path", default=None,
                         help="cmudict-0.7b file for ARPAbet substitution")
     parser.add_argument("--seed", type=int, default=0)
