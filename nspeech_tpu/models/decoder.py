@@ -33,21 +33,52 @@ def teacher_frames(mel_targets: jnp.ndarray, r: int) -> jnp.ndarray:
     return jnp.moveaxis(shifted, 1, 0)
 
 
+def _mix_sampled(x, prev_frame, key, sampling_ratio):
+    """Per-row Bernoulli(sampling_ratio) choice between the model's own
+    previous frame and the teacher frame (scheduled sampling, Bengio et
+    al. 2015, arXiv:1506.03099). The fed-back frame enters under
+    stop_gradient (the sampled connection is treated as an input, not a
+    backprop path), which also keeps the deferred-dW restructuring exact."""
+    use_model = jax.random.bernoulli(key, sampling_ratio, (x.shape[0],))
+    return jnp.where(use_model[:, None], jax.lax.stop_gradient(prev_frame), x)
+
+
 def scan_teacher(
     step: Callable,        # (carry, x [N,M], rng_t) -> (carry, (out [N,r*M], align [N,T_in]))
     carry0,
     inputs: jnp.ndarray,   # [S, N, M]
     rng: jnp.ndarray,
+    sampling_ratio: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Teacher-forced decode. Returns (outputs [S, N, r*M], alignments [S, N, T_in])."""
+    """Teacher-forced decode. Returns (outputs [S, N, r*M], alignments [S, N, T_in]).
+
+    ``sampling_ratio`` > 0 enables scheduled sampling: at each step, each
+    row feeds back the model's previous predicted frame instead of the
+    teacher frame with that probability (exposure-bias mitigation; 0.0 =
+    pure teacher forcing, the reference's only mode, helpers.py:41-77).
+    """
     s = inputs.shape[0]
+    num_mels = inputs.shape[-1]
     keys = jax.random.split(rng, s)
 
-    def body(carry, xs):
-        x, key = xs
-        return step(carry, x, key)
+    if sampling_ratio == 0.0:
+        def body(carry, xs):
+            x, key = xs
+            return step(carry, x, key)
 
-    _, (outs, aligns) = jax.lax.scan(body, carry0, (inputs, keys))
+        _, (outs, aligns) = jax.lax.scan(body, carry0, (inputs, keys))
+        return outs, aligns
+
+    def body(state, xs):
+        carry, prev = state
+        x, key = xs
+        key_mix, key_step = jax.random.split(key)
+        carry, (out, align) = step(
+            carry, _mix_sampled(x, prev, key_mix, sampling_ratio), key_step)
+        return (carry, out[:, -num_mels:]), (out, align)
+
+    prev0 = jnp.zeros_like(inputs[0])  # step 0's teacher input IS the GO frame
+    _, (outs, aligns) = jax.lax.scan(body, (carry0, prev0), (inputs, keys))
     return outs, aligns
 
 
@@ -57,18 +88,37 @@ def scan_teacher_deferred(
     inputs: jnp.ndarray,   # [S, N, M]
     zs,                    # pytree of [S, ...] per-step injection tensors
     rng: jnp.ndarray,
+    sampling_ratio: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Teacher-forced decode with deferred weight-gradient injections (see
     ops/deferred.py). Returns (outputs, alignments, aux) where aux stacks
-    the in-scan matmul inputs [S, ...] for the post-hoc dW matmuls."""
+    the in-scan matmul inputs [S, ...] for the post-hoc dW matmuls.
+    ``sampling_ratio`` as in :func:`scan_teacher` (the stop_gradient'ed
+    feedback keeps the post-hoc dW matmuls exact)."""
     s = inputs.shape[0]
+    num_mels = inputs.shape[-1]
     keys = jax.random.split(rng, s)
 
-    def body(carry, xs):
-        x, key, z = xs
-        return step(carry, x, key, z)
+    if sampling_ratio == 0.0:
+        def body(carry, xs):
+            x, key, z = xs
+            return step(carry, x, key, z)
 
-    _, (outs, aligns, aux) = jax.lax.scan(body, carry0, (inputs, keys, zs))
+        _, (outs, aligns, aux) = jax.lax.scan(body, carry0,
+                                              (inputs, keys, zs))
+        return outs, aligns, aux
+
+    def body(state, xs):
+        carry, prev = state
+        x, key, z = xs
+        key_mix, key_step = jax.random.split(key)
+        carry, (out, align, aux) = step(
+            carry, _mix_sampled(x, prev, key_mix, sampling_ratio), key_step, z)
+        return (carry, out[:, -num_mels:]), (out, align, aux)
+
+    prev0 = jnp.zeros_like(inputs[0])
+    _, (outs, aligns, aux) = jax.lax.scan(body, (carry0, prev0),
+                                          (inputs, keys, zs))
     return outs, aligns, aux
 
 

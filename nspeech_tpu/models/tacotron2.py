@@ -241,15 +241,19 @@ class Tacotron2:
         deferred_aux = None
         if mel_targets is not None:
             inputs = D.teacher_frames(mel_targets, cfg.outputs_per_step)
+            ss = (float(cfg.get("scheduled_sampling_ratio", 0.0))
+                  if is_training else 0.0)
             if deferred_zs is not None:
                 # only decoder-rate injections ride the decoder scan; the
                 # encoder/expand BiLSTM entries run at text/frame rate
                 dec_zs = {k: v for k, v in deferred_zs.items()
                           if k not in ("encoder_lstm", "expand_lstm")}
                 outs, aligns, deferred_aux = D.scan_teacher_deferred(
-                    step, carry0, inputs, dec_zs, rng_dec)
+                    step, carry0, inputs, dec_zs, rng_dec,
+                    sampling_ratio=ss)
             else:
-                outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec)
+                outs, aligns = D.scan_teacher(step, carry0, inputs, rng_dec,
+                                              sampling_ratio=ss)
         else:
             outs, aligns, lengths = D.scan_autoregressive(
                 lambda c, x, _r: step(c, x, None), carry0, n, cfg.num_mels,
