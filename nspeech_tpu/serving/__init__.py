@@ -3,3 +3,7 @@
 from nspeech_tpu.serving.errors import ClientError  # noqa: F401
 from nspeech_tpu.serving.pipeline import TextToSpeech, WaveNetVocoder  # noqa: F401
 from nspeech_tpu.serving.synthesizer import Synthesizer  # noqa: F401
+from nspeech_tpu.serving.export import (  # noqa: F401
+    ExportedSynthesizer,
+    export_synthesizer,
+)

@@ -1,0 +1,73 @@
+"""AOT serving export (serving/export.py): the serialized StableHLO
+artifact reproduces the live Synthesizer bit-exactly and loads without
+model code or checkpoint."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import nspeech_tpu.config as config
+from nspeech_tpu.models import create_model
+from nspeech_tpu.serving import Synthesizer
+from nspeech_tpu.serving.export import ExportedSynthesizer, export_synthesizer
+from nspeech_tpu.train import create_state, make_optimizer
+
+
+def _micro_synth():
+    cfg = config.load_config("taco1")
+    cfg.parse(
+        "batch_size=2,max_iters=3,encoder_cbhg_banks=1,post_cbhg_banks=1,"
+        "attention_dim=16,decoder_dim=16,embedding_dim=16,"
+        "griffin_lim_iters=2")
+    cfg.encoder_prenet = [16, 16]
+    cfg.encoder_cbhg_bank_sizes = [16]
+    cfg.post_cbhg_bank_sizes = [80]
+    cfg.num_speakers = 1
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+    st = create_state(model, tx, jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=32)
+    synth.set_variables(st.params, st.bn_state, model=model)
+    return synth
+
+
+def test_export_round_trip_exact(tmp_path):
+    synth = _micro_synth()
+    wav0, mel0, lin0 = synth.synthesize("hello world")
+
+    out = export_synthesizer(synth, str(tmp_path / "art"), text_len=32,
+                             batch=1)
+    assert os.path.exists(os.path.join(out, "module.stablehlo"))
+    assert os.path.exists(os.path.join(out, "export.json"))
+
+    ex = ExportedSynthesizer(out)
+    wav1, mel1, lin1 = ex.synthesize("hello world")
+    # same compiled math, same rng: spectrograms are bit-identical
+    np.testing.assert_array_equal(mel0, mel1)
+    np.testing.assert_array_equal(lin0, lin1)
+    # wav post-processing twins (scipy lfilter vs associative scan)
+    # agree to float tolerance; endpoint trim must pick the same cut
+    assert len(wav0) == len(wav1)
+    np.testing.assert_allclose(wav0, wav1, atol=1e-4)
+
+
+def test_export_multiplatform_lowering(tmp_path):
+    """One artifact lowered for BOTH cpu and tpu loads and runs here."""
+    synth = _micro_synth()
+    out = export_synthesizer(synth, str(tmp_path / "art"), text_len=32,
+                             batch=1, platforms=("cpu", "tpu"))
+    ex = ExportedSynthesizer(out)
+    assert set(ex.meta["platforms"]) == {"cpu", "tpu"}
+    wav, mel, lin = ex.synthesize("a b c")
+    assert len(wav) > 0 and np.isfinite(mel).all()
+
+
+def test_export_rejects_overlong_text(tmp_path):
+    synth = _micro_synth()
+    out = export_synthesizer(synth, str(tmp_path / "art"), text_len=8,
+                             batch=1)
+    ex = ExportedSynthesizer(out)
+    with pytest.raises(ValueError, match="text_len"):
+        ex.synthesize("this text is far longer than eight symbols")
