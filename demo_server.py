@@ -128,7 +128,14 @@ def make_app(synthesizer, cfg):
                 start_response("400 Bad Request",
                                [("Content-Type", "text/plain")])
                 return [b"speaker_id must be an integer"]
-            wav, _mel, _lin = synthesizer.synthesize(text, speaker_id)
+            from nspeech_tpu.serving import ClientError
+
+            try:
+                wav, _mel, _lin = synthesizer.synthesize(text, speaker_id)
+            except ClientError as e:  # e.g. text beyond an AOT artifact's
+                start_response("400 Bad Request",  # exported text_len
+                               [("Content-Type", "text/plain")])
+                return [str(e).encode("utf-8")]
             body = encode_wav_bytes(wav, cfg.sample_rate)
             start_response("200 OK", [("Content-Type", "audio/wav"),
                                       ("Content-Length", str(len(body)))])
@@ -201,8 +208,12 @@ def main() -> None:
     from wsgiref import simple_server
 
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--checkpoint", required=True,
+    parser.add_argument("--checkpoint", default=None,
                         help="Checkpoint directory (log_dir/<run>/ckpt)")
+    parser.add_argument("--artifact", default=None,
+                        help="AOT serving artifact from export_serving.py "
+                             "(serves with no model code or checkpoint; "
+                             "mutually exclusive with --checkpoint)")
     parser.add_argument("--checkpoint-step", type=int, default=None)
     parser.add_argument("--port", type=int, default=9000)
     parser.add_argument("--model", default=None, help="Model name (default: checkpoint run metadata)")
@@ -217,6 +228,22 @@ def main() -> None:
     from nspeech_tpu.utils.platform import set_platform
 
     set_platform(args.platform)
+    if bool(args.checkpoint) == bool(args.artifact):
+        parser.error("exactly one of --checkpoint / --artifact is required")
+    if args.artifact:
+        if args.vocoder_checkpoint:
+            parser.error("--artifact serves the exported Griffin-Lim "
+                         "program; --vocoder-checkpoint needs --checkpoint")
+        from types import SimpleNamespace
+
+        from nspeech_tpu.serving import ExportedSynthesizer
+
+        synthesizer = ExportedSynthesizer(args.artifact)
+        cfg = SimpleNamespace(sample_rate=synthesizer.meta["sample_rate"])
+        app = make_app(synthesizer, cfg)
+        print("Serving AOT artifact %s on port %d" % (args.artifact, args.port))
+        simple_server.make_server("0.0.0.0", args.port, app).serve_forever()
+        return
     overrides = args.hparams
     if args.num_speakers is not None:
         overrides = (overrides + "," if overrides else "") \

@@ -107,10 +107,12 @@ class ExportedSynthesizer:
         from nspeech_tpu.text import text_to_sequence
         from nspeech_tpu.text.symbols import PAD_ID
 
+        from nspeech_tpu.serving.errors import ClientError
+
         seq = text_to_sequence(text, self._cleaners)
         n, t = self.meta["batch"], self.meta["text_len"]
         if len(seq) > t:
-            raise ValueError(
+            raise ClientError(
                 "text encodes to %d ids; this artifact was exported for "
                 "text_len=%d" % (len(seq), t))
         ids = np.full((n, t), PAD_ID, np.int32)

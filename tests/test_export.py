@@ -71,3 +71,36 @@ def test_export_rejects_overlong_text(tmp_path):
     ex = ExportedSynthesizer(out)
     with pytest.raises(ValueError, match="text_len"):
         ex.synthesize("this text is far longer than eight symbols")
+
+
+def test_demo_server_serves_exported_artifact(tmp_path):
+    """demo_server --artifact path: the WSGI app runs on an
+    ExportedSynthesizer (no checkpoint/model code) — 200 audio/wav for a
+    fitting text, 400 (not 500) for one beyond the exported text_len."""
+    from types import SimpleNamespace
+
+    from demo_server import make_app
+
+    synth = _micro_synth()
+    out = export_synthesizer(synth, str(tmp_path / "art"), text_len=16,
+                             batch=1)
+    ex = ExportedSynthesizer(out)
+    app = make_app(ex, SimpleNamespace(sample_rate=ex.meta["sample_rate"]))
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app({"PATH_INFO": "/synthesize",
+                         "QUERY_STRING": "text=hi+there"}, start_response))
+    assert captured["status"] == "200 OK"
+    assert captured["headers"]["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF"
+
+    body = b"".join(app(
+        {"PATH_INFO": "/synthesize",
+         "QUERY_STRING": "text=a+sentence+well+beyond+sixteen+symbols"},
+        start_response))
+    assert captured["status"].startswith("400")
+    assert b"text_len" in body
