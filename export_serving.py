@@ -38,6 +38,16 @@ def main() -> None:
                         help="Checkpoint step (default latest)")
     parser.add_argument("--platform", default=None,
                         help="Force the LOCAL jax backend (e.g. cpu)")
+    parser.add_argument("--vocoder-checkpoint", default=None,
+                        help="Also export a mel->wav WaveNet vocoder "
+                             "program into the same artifact dir")
+    parser.add_argument("--vocoder-hparams", default="")
+    parser.add_argument("--vocoder-frames", type=int, default=None,
+                        help="Static mel length for the vocoder program "
+                             "(default: the acoustic model's max output, "
+                             "max_iters * outputs_per_step)")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="Vocoder sampling temperature (baked in)")
     args = parser.parse_args()
 
     from nspeech_tpu.utils.platform import set_platform
@@ -60,6 +70,21 @@ def main() -> None:
     print("Exported %s -> %s (%.1f MB, platforms=%s, batch=%d, text_len=%d)"
           % (args.checkpoint, out, size,
              platforms or "current", args.batch, args.text_len))
+
+    if args.vocoder_checkpoint:
+        from nspeech_tpu.serving import WaveNetVocoder
+        from nspeech_tpu.serving.export import export_vocoder
+
+        vocoder = WaveNetVocoder.from_checkpoint(
+            args.vocoder_checkpoint, overrides=args.vocoder_hparams)
+        frames = args.vocoder_frames or (
+            synth.cfg.max_iters * synth.cfg.outputs_per_step)
+        export_vocoder(vocoder, out, frames=frames, batch=args.batch,
+                       temperature=args.temperature, platforms=platforms)
+        vsize = os.path.getsize(os.path.join(out, "vocoder.stablehlo")) / 1e6
+        print("Exported vocoder %s -> %s (%.1f MB, frames=%d, "
+              "temperature=%g)" % (args.vocoder_checkpoint, out, vsize,
+                                   frames, args.temperature))
 
 
 if __name__ == "__main__":

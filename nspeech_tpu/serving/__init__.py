@@ -5,5 +5,7 @@ from nspeech_tpu.serving.pipeline import TextToSpeech, WaveNetVocoder  # noqa: F
 from nspeech_tpu.serving.synthesizer import Synthesizer  # noqa: F401
 from nspeech_tpu.serving.export import (  # noqa: F401
     ExportedSynthesizer,
+    ExportedVocoder,
     export_synthesizer,
+    export_vocoder,
 )

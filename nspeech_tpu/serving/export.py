@@ -36,6 +36,8 @@ from jax import export as jax_export
 
 MODULE_FILE = "module.stablehlo"
 META_FILE = "export.json"
+VOC_MODULE_FILE = "vocoder.stablehlo"
+VOC_META_FILE = "vocoder.json"
 
 
 def export_synthesizer(
@@ -83,6 +85,104 @@ def export_synthesizer(
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(meta, f, indent=1)
     return out_dir
+
+
+def export_vocoder(
+    vocoder,
+    out_dir: str,
+    frames: int,
+    batch: int = 1,
+    temperature: float = 1.0,
+    gc_ids: Optional[Sequence[int]] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Export a loaded WaveNetVocoder as (mel [N, frames, M], key) ->
+    waveform [N, frames*hop], via the portable lax.scan generator (the
+    Pallas kernel stays the live-serving fast path on TPU; the exported
+    artifact favors deploy-anywhere portability). Mel upsampling to
+    sample rate and mu-law decoding run INSIDE the compiled program.
+
+    Sampling temperature and (when the net was trained with global
+    conditioning) ``gc_ids`` are baked in at export time; the rng key
+    stays a call argument.
+    """
+    from nspeech_tpu.dsp import mu_law_decode
+    from nspeech_tpu.ops.upsample import upsample_on_device
+
+    net, params = vocoder.net, vocoder._params
+    if net is None or params is None:
+        raise ValueError("Vocoder must be loaded before export")
+    if net.lc_channels <= 0:
+        raise ValueError("Vocoder was trained without local conditioning "
+                         "(lc_channels=0); it cannot follow a mel")
+    hop = vocoder._hop
+    n_samples = frames * hop
+    gc = None
+    if gc_ids is not None:
+        if not net.gc_channels:
+            raise ValueError("gc_ids given but the net has gc_channels=0")
+        gc = np.asarray(gc_ids, np.int32)
+
+    def fn(mels, key):
+        lc = upsample_on_device(mels, hop, n_samples)
+        codes = net.generate(params, n_samples, key, batch=batch,
+                             gc_ids=gc, lc=lc, temperature=temperature)
+        return mu_law_decode(codes, net.quantization_channels)
+
+    args = (jnp.zeros((batch, frames, net.lc_channels), jnp.float32),
+            jax.random.PRNGKey(0))
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(fn), **kwargs)(*args)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, VOC_MODULE_FILE), "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "batch": batch,
+        "frames": frames,
+        "hop": hop,
+        "num_mels": int(net.lc_channels),
+        "temperature": float(temperature),
+        "gc_ids": None if gc is None else [int(i) for i in gc],
+        "platforms": list(exported.platforms),
+        "sample_rate": int(vocoder.cfg.sample_rate),
+    }
+    with open(os.path.join(out_dir, VOC_META_FILE), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+class ExportedVocoder:
+    """Serve mel -> waveform from an export_vocoder() artifact."""
+
+    def __init__(self, artifact_dir: str):
+        with open(os.path.join(artifact_dir, VOC_META_FILE)) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(artifact_dir, VOC_MODULE_FILE), "rb") as f:
+            self._exported = jax_export.deserialize(bytearray(f.read()))
+        self._call = jax.jit(self._exported.call)
+
+    def vocode(self, mel: np.ndarray, seed: int = 0) -> np.ndarray:
+        """mel [T, M] (T <= exported frames; zero-padded up) -> wav
+        trimmed back to T*hop samples."""
+        from nspeech_tpu.serving.errors import ClientError
+
+        mel = np.asarray(mel, np.float32)
+        frames = self.meta["frames"]
+        if mel.shape[0] > frames:
+            raise ClientError(
+                "mel has %d frames; this artifact was exported for "
+                "frames=%d" % (mel.shape[0], frames))
+        if mel.shape[1] != self.meta["num_mels"]:
+            raise ClientError("mel has %d channels; expected %d"
+                              % (mel.shape[1], self.meta["num_mels"]))
+        n, t_real = self.meta["batch"], mel.shape[0]
+        mels = np.zeros((n, frames, mel.shape[1]), np.float32)
+        mels[0, :t_real] = mel
+        wavs = self._call(jnp.asarray(mels), jax.random.PRNGKey(seed))
+        return np.asarray(wavs[0][: t_real * self.meta["hop"]], np.float32)
 
 
 class ExportedSynthesizer:

@@ -73,6 +73,49 @@ def test_export_rejects_overlong_text(tmp_path):
         ex.synthesize("this text is far longer than eight symbols")
 
 
+def test_vocoder_export_round_trip_exact(tmp_path):
+    """export_vocoder: the serialized mel->wav program (scan generator +
+    on-device upsample + mu-law decode) matches the live vocoder
+    bit-exactly for the same seed, and trims padded frames back."""
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.serving import WaveNetVocoder
+    from nspeech_tpu.serving.export import ExportedVocoder, export_vocoder
+
+    vcfg = config.load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=80,batch_size=1")
+    net = create_model("wavenet", vcfg)
+    vparams = net.init(jax.random.PRNGKey(1))
+    vocoder = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, vparams)
+
+    rng = np.random.default_rng(0)
+    mel = rng.random((4, 80)).astype(np.float32)
+    # temperature=0 (argmax sampling) makes the chain deterministic:
+    # stochastic draws are NOT reproducible across compilation boundaries
+    # (one ulp of logit difference flips a draw and the autoregressive
+    # chain diverges — same reason the Pallas equivalence tests run at 0)
+    wav_live = vocoder.vocode(mel, temperature=0.0, seed=3)
+
+    out = export_vocoder(vocoder, str(tmp_path / "art"), frames=4,
+                         batch=1, temperature=0.0)
+    ex = ExportedVocoder(out)
+    wav_exp = ex.vocode(mel, seed=3)
+    # the deterministic chains pick identical codes; only the final
+    # mu-law float decode differs by ~1 ulp across compilations (any
+    # flipped code would diverge the chain and blow far past this atol)
+    np.testing.assert_allclose(np.asarray(wav_live, np.float32), wav_exp,
+                               atol=1e-5)
+
+    # shorter mel: padded up inside, trimmed back to T*hop on return
+    short = ex.vocode(mel[:2], seed=3)
+    assert len(short) == 2 * ex.meta["hop"]
+
+    with pytest.raises(ValueError, match="frames=4"):
+        ex.vocode(rng.random((9, 80)).astype(np.float32))
+
+
 def test_demo_server_serves_exported_artifact(tmp_path):
     """demo_server --artifact path: the WSGI app runs on an
     ExportedSynthesizer (no checkpoint/model code) — 200 audio/wav for a
