@@ -195,6 +195,73 @@ def scan_autoregressive(
     return outs, aligns, steps
 
 
+def start_autoregressive(
+    step: Callable,
+    carry0,
+    batch: int,
+    num_mels: int,
+    max_iters: int,
+    stop_threshold: float = 0.0,
+    initial_finished: jnp.ndarray = None,
+):
+    """Step 0 of the autoregressive decode, for CHUNKED (streaming) use.
+
+    Mirrors :func:`scan_autoregressive`'s eager first step exactly and
+    returns ``((out0, align0), chunk_carry)``; feed the carry to
+    :func:`scan_autoregressive_chunk`. ``max_iters`` is the caller's
+    total step budget (the per-row ``steps`` sentinel for rows that
+    never emit a stop frame).
+    """
+    if initial_finished is None:
+        initial_finished = jnp.zeros((batch,), bool)
+    x0 = jnp.zeros((batch, num_mels))
+    carry1, (out0, align0) = step(carry0, x0, None)
+    out0 = jnp.where(initial_finished[:, None], 0.0, out0)
+    stop0 = jnp.all(jnp.abs(out0) <= stop_threshold, axis=-1)
+    finished0 = initial_finished | stop0
+    steps0 = jnp.where(initial_finished, 0,
+                       jnp.where(stop0, 1, max_iters)).astype(jnp.int32)
+    chunk_carry = (jnp.asarray(1, jnp.int32), carry1,
+                   out0[:, -num_mels:], finished0, steps0)
+    return (out0, align0), chunk_carry
+
+
+def scan_autoregressive_chunk(
+    step: Callable,
+    carry,
+    k: int,
+    num_mels: int,
+    stop_threshold: float = 0.0,
+):
+    """Run ``k`` fixed decode steps from a :func:`start_autoregressive`
+    carry; returns ``((outs [k,N,r*M], aligns [k,N,T_in]), carry)``.
+
+    Chaining chunks reproduces :func:`scan_autoregressive`'s buffers
+    bit-exactly (tested): finished rows emit zeros, and once EVERY row
+    has finished a chunk emits all-zero frames and alignments — the
+    untouched tail of the one-shot preallocated buffers. The caller
+    stops requesting chunks when ``carry[3]`` (finished) is all-True.
+    """
+
+    def stopped(out):
+        return jnp.all(jnp.abs(out) <= stop_threshold, axis=-1)
+
+    def body(state, _):
+        t, cell, x, finished, steps = state
+        all_done = jnp.all(finished)  # pre-update: matches the while exit
+        cell, (out, align) = step(cell, x, None)
+        out = jnp.where(finished[:, None], 0.0, out)
+        align = jnp.where(all_done, 0.0, align)
+        now_finished = stopped(out)
+        steps = jnp.where(~finished & now_finished, t + 1, steps)
+        finished = finished | now_finished
+        return ((t + 1, cell, out[:, -num_mels:], finished, steps),
+                (out, align))
+
+    carry, (outs, aligns) = jax.lax.scan(body, carry, None, length=k)
+    return (outs, aligns), carry
+
+
 def guided_attention_penalty(
     alignments: jnp.ndarray,     # [N, T_in, S]
     input_lengths: jnp.ndarray,  # [N]

@@ -462,3 +462,64 @@ class WaveNet:
         if return_logits:
             return samples, jnp.moveaxis(logits, 0, 1)[:, skip:end]
         return samples
+
+    # -- chunked (streaming) generation --------------------------------------
+
+    def generate_carry0(self, batch: int = 1):
+        """Initial carry for :meth:`generate_chunk`: (t, prev_code, ring
+        buffers), prev_code seeded with the mid-scale silence code like
+        :meth:`generate`."""
+        Q = self.quantization_channels
+        return (jnp.asarray(0, jnp.int32),
+                jnp.full((batch,), Q // 2, jnp.int32),
+                self._init_gen_buffers(batch))
+
+    def generate_chunk(
+        self,
+        params: Params,
+        carry,
+        n_samples: int,
+        key,
+        gc_ids: Optional[jnp.ndarray] = None,
+        lc: Optional[jnp.ndarray] = None,   # [N, n_samples, lc_channels]
+        temperature: float = 1.0,
+    ):
+        """Run ``n_samples`` sampling steps from ``carry`` and return
+        (codes [N, n_samples], carry) — the streaming form of
+        :meth:`generate`: concatenating chunks reproduces the one-shot
+        call exactly at temperature<=0 (argmax; tested). At temperature>0
+        each step draws from ``fold_in(key, t)`` with t the ABSOLUTE
+        sample index carried across chunks, so resuming mid-utterance is
+        deterministic in (key, t) rather than in a pre-split key vector.
+        """
+        if self.scalar_input or self.filter_width != 2:
+            raise NotImplementedError(
+                "Fast generation supports filter_width=2 one-hot models "
+                "(same restriction as the reference, wavenet.py:639-644).")
+        if self.lc_channels and lc is None:
+            raise ValueError("model has lc_channels=%d; pass lc= to "
+                             "generate_chunk" % self.lc_channels)
+        Q = self.quantization_channels
+        gc = self._embed_gc(params, gc_ids)
+        batch = carry[1].shape[0]
+        if lc is not None:
+            lc_steps = jnp.moveaxis(lc[:, :n_samples, :], 1, 0)
+        else:
+            lc_steps = jnp.zeros((n_samples, batch, 0))
+
+        def body(carry, lc_t):
+            t, prev_code, bufs = carry
+            x = jax.nn.one_hot(prev_code, Q, dtype=jnp.float32)
+            logits, bufs = self._gen_step(
+                params, x, t, bufs, gc, lc_t if self.lc_channels else None)
+            if temperature <= 0.0:
+                sample = jnp.argmax(logits, axis=-1)
+            else:
+                sample = jax.random.categorical(
+                    jax.random.fold_in(key, t), logits / temperature,
+                    axis=-1)
+            sample = sample.astype(jnp.int32)
+            return (t + 1, sample, bufs), sample
+
+        carry, samples = jax.lax.scan(body, carry, lc_steps)
+        return jnp.moveaxis(samples, 0, 1), carry

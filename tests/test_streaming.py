@@ -1,0 +1,149 @@
+"""Streaming (chunked) synthesis: every chunked program must reproduce
+its one-shot counterpart exactly — WaveNet chunk generation, decoder
+chunk scans, and halo'd postnet chunks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nspeech_tpu.config import load_config
+from nspeech_tpu.models import create_model
+
+
+def _micro_wavenet(lc=80):
+    cfg = load_config("wavenet")
+    cfg.parse("dilations_length=3,dilations_depth=2,residual_channels=8,"
+              "dilation_channels=8,skip_channels=16,"
+              "quantization_channels=64,lc_channels=%d,batch_size=1" % lc)
+    net = create_model("wavenet", cfg)
+    params = net.init(jax.random.PRNGKey(1))
+    return net, params
+
+
+@pytest.mark.smoke
+def test_wavenet_chunked_generation_matches_one_shot():
+    """generate_chunk chained over uneven chunk sizes == generate, at
+    temperature 0 (argmax; the deterministic path both share)."""
+    net, params = _micro_wavenet()
+    rng = np.random.default_rng(0)
+    n, total = 2, 48
+    lc = jnp.asarray(rng.standard_normal((n, total, 80)), jnp.float32)
+
+    ref = net.generate(params, total, jax.random.PRNGKey(5), batch=n,
+                       lc=lc, temperature=0.0)
+
+    carry = net.generate_carry0(batch=n)
+    outs = []
+    start = 0
+    for size in (7, 16, 1, 24):  # uneven on purpose; sums to 48
+        codes, carry = net.generate_chunk(
+            params, carry, size, jax.random.PRNGKey(5),
+            lc=lc[:, start:start + size], temperature=0.0)
+        outs.append(np.asarray(codes))
+        start += size
+    np.testing.assert_array_equal(np.concatenate(outs, axis=1),
+                                  np.asarray(ref))
+
+
+def _toy_step(w, v, t_in, r):
+    """Never-stopping decoder-like step (out offset keeps |out| > 0)."""
+
+    def step(carry, x, rng):
+        h = carry
+        pre = jnp.tanh(x @ w + h @ v) + 0.1
+        out = jnp.tile(pre, (1, r))
+        align = jax.nn.softmax(jnp.tile(h[:, :1], (1, t_in)), axis=-1)
+        return pre, (out, align)
+
+    return step
+
+
+def _stopping_step(stops, m, t_in):
+    """Row i emits exact zeros from decoder step stops[i] on (carry
+    counts steps) — exercises per-row early stop and the all-done tail."""
+
+    def step(carry, x, rng):
+        t = carry
+        live = (t < stops).astype(jnp.float32)[:, None]
+        out = live * (1.0 + 0.1 * t.astype(jnp.float32))[:, None] \
+            * jnp.ones((1, m))
+        align = jnp.full((stops.shape[0], t_in), 1.0 / t_in)
+        return t + 1, (out, align)
+
+    return step
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("chunks", [(5, 2), (1, 1, 1, 1, 1, 1, 1)])
+def test_decoder_chunked_matches_one_shot(chunks):
+    from nspeech_tpu.models import decoder as D
+
+    S, N, M, r, t_in = 8, 3, 4, 2, 5
+    assert sum(chunks) == S - 1
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((M, M)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((M, M)) * 0.3, jnp.float32)
+    step = _toy_step(w, v, t_in, r)
+    cell0 = jnp.zeros((N, M))
+
+    outs1, aligns1, steps1 = D.scan_autoregressive(
+        step, cell0, N, M, r, max_iters=S)
+
+    (out0, align0), carry = D.start_autoregressive(
+        step, cell0, N, M, max_iters=S)
+    outs = [np.asarray(out0)[None]]
+    aligns = [np.asarray(align0)[None]]
+    for k in chunks:
+        (o, a), carry = D.scan_autoregressive_chunk(step, carry, k, M)
+        outs.append(np.asarray(o))
+        aligns.append(np.asarray(a))
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(outs1))
+    np.testing.assert_array_equal(np.concatenate(aligns),
+                                  np.asarray(aligns1))
+    np.testing.assert_array_equal(np.asarray(carry[4]), np.asarray(steps1))
+
+
+@pytest.mark.smoke
+def test_decoder_chunked_early_stop_matches_one_shot():
+    """Rows stop at different steps; the all-finished tail of chunked
+    output equals the one-shot buffers' untouched zeros, and per-row
+    ``steps`` agree."""
+    from nspeech_tpu.models import decoder as D
+
+    S, N, M, t_in = 10, 3, 4, 5
+    stops = jnp.asarray([2, 5, 5], jnp.int32)  # all done well before S
+    step = _stopping_step(stops, M, t_in)
+    cell0 = jnp.zeros((N,), jnp.int32)
+
+    outs1, aligns1, steps1 = D.scan_autoregressive(
+        step, cell0, N, M, r=1, max_iters=S)
+
+    (out0, align0), carry = D.start_autoregressive(
+        step, cell0, N, M, max_iters=S)
+    outs, aligns = [np.asarray(out0)[None]], [np.asarray(align0)[None]]
+    for k in (4, 3, 2):
+        (o, a), carry = D.scan_autoregressive_chunk(step, carry, k, M)
+        outs.append(np.asarray(o))
+        aligns.append(np.asarray(a))
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(outs1))
+    np.testing.assert_array_equal(np.concatenate(aligns),
+                                  np.asarray(aligns1))
+    np.testing.assert_array_equal(np.asarray(carry[4]), np.asarray(steps1))
+    assert bool(np.asarray(carry[3]).all())  # finished flags for the host
+
+
+@pytest.mark.smoke
+def test_wavenet_chunked_generation_unconditioned():
+    net, params = _micro_wavenet(lc=0)
+    total = 32
+    ref = net.generate(params, total, jax.random.PRNGKey(2), batch=1,
+                       temperature=0.0)
+    carry = net.generate_carry0(batch=1)
+    a, carry = net.generate_chunk(params, carry, 20, jax.random.PRNGKey(2),
+                                  temperature=0.0)
+    b, carry = net.generate_chunk(params, carry, 12, jax.random.PRNGKey(2),
+                                  temperature=0.0)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(a), np.asarray(b)], axis=1),
+        np.asarray(ref))
