@@ -222,6 +222,28 @@ class Tacotron1:
             pre, input_lengths, spk, is_training)
         return enc_out, spk, enc_state
 
+    # -- streaming hooks ------------------------------------------------------
+
+    def attention_context(self, params, state, text_inputs, input_lengths,
+                          speaker_ids=None):
+        """Encoder side only (inference): ``(step_ctx, carry0)`` for
+        chunked decoding (see tacotron2.attention_context). Tacotron-1's
+        decoder frames ARE the mel (no postnet residual)."""
+        n, t_in = text_inputs.shape
+        enc_out, spk, _ = self.encode(
+            params, state, text_inputs, input_lengths, speaker_ids,
+            False, jax.random.PRNGKey(0))
+        keys_mem = A.prepare_memory(params["attention"], enc_out)
+        mask = (jnp.arange(t_in)[None, :]
+                < jnp.maximum(input_lengths, 1)[:, None])
+        return ((keys_mem, enc_out, mask, spk),
+                self._decoder_carry0(n, t_in))
+
+    def make_eval_step(self, params, step_ctx):
+        keys_mem, enc_out, mask, spk = step_ctx
+        return self._make_step(params, keys_mem, enc_out, mask, spk,
+                               is_training=False)
+
     def forward(
         self,
         params,

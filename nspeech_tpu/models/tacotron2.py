@@ -194,6 +194,41 @@ class Tacotron2:
             lstm_state(cfg.decoder_lstm_units),
         )
 
+    # -- streaming hooks ------------------------------------------------------
+
+    def attention_context(self, params, state, text_inputs, input_lengths,
+                          speaker_ids=None):
+        """Encoder side only (inference): returns ``(step_ctx, carry0)``
+        for chunked decoding via ``make_eval_step`` +
+        ``decoder.start_autoregressive`` / ``scan_autoregressive_chunk``
+        — the same tensors forward() builds before its decode scan."""
+        n, t_in = text_inputs.shape
+        embedded = L.embedding(params["embedding"], text_inputs)
+        spk = None
+        if self.multi_speaker:
+            spk = jnp.take(params["speaker_embed"]["table"], speaker_ids,
+                           axis=0)
+        enc_out, _ = M.conv_and_lstm(
+            params["encoder"], state["encoder"], self._enc_meta,
+            embedded, input_lengths, False)
+        keys_mem = A.prepare_memory(params["attention"], enc_out)
+        mask = (jnp.arange(t_in)[None, :]
+                < jnp.maximum(input_lengths, 1)[:, None])
+        return ((keys_mem, enc_out, mask, spk),
+                self._decoder_carry0(n, t_in))
+
+    def make_eval_step(self, params, step_ctx):
+        keys_mem, enc_out, mask, spk = step_ctx
+        return self._make_step(params, keys_mem, enc_out, mask, spk,
+                               is_training=False)
+
+    def postnet_residual(self, params, state, frames):
+        """Postnet over a frame window (inference; BN uses running
+        stats). mel = decoder frames + this residual."""
+        residual, _ = M.postnet(params["postnet"], state["postnet"],
+                                frames, False)
+        return residual
+
     # -- forward ------------------------------------------------------------
 
     def forward(

@@ -9,3 +9,4 @@ from nspeech_tpu.serving.export import (  # noqa: F401
     export_synthesizer,
     export_vocoder,
 )
+from nspeech_tpu.serving.streaming import StreamingTTS  # noqa: F401

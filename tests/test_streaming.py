@@ -133,6 +133,119 @@ def test_decoder_chunked_early_stop_matches_one_shot():
     assert bool(np.asarray(carry[3]).all())  # finished flags for the host
 
 
+def _micro_tts(stop_threshold=0.0):
+    from nspeech_tpu.serving import Synthesizer, WaveNetVocoder
+
+    cfg = load_config("taco2")
+    cfg.parse(
+        "max_iters=6,outputs_per_step=2,encoder_conv_layers=1,"
+        "postnet_conv_layers=2,postnet_conv_width=3,expand_conv_layers=1,"
+        "encoder_conv_channels=16,attention_dim=16,postnet_conv_channels=16,"
+        "expand_conv_channels=16,decoder_lstm_units=16,encoder_lstm_units=8,"
+        "expand_lstm_units=8,embedding_dim=16,griffin_lim_iters=1,"
+        "stop_threshold=%g" % stop_threshold)
+    model = create_model("taco2", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, bn_state, model=model)
+
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=80,batch_size=1")
+    net = create_model("wavenet", vcfg)
+    vparams = net.init(jax.random.PRNGKey(1))
+    vocoder = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, vparams)
+    return synth, vocoder
+
+
+def _streaming_reference(synth, vocoder, text, bucket=16):
+    """One-shot path the stream must equal: full decode -> full postnet
+    mel -> whole-utterance vocode of the voiced frames."""
+    from nspeech_tpu.data.feeder import round_up
+    from nspeech_tpu.text import text_to_sequence
+    from nspeech_tpu.text.symbols import PAD_ID
+
+    cfg = synth.cfg
+    seq = text_to_sequence(text, [c.strip() for c in cfg.cleaners.split(",")])
+    padded = round_up(len(seq), bucket)
+    ids = np.full((1, padded), PAD_ID, np.int32)
+    ids[0, : len(seq)] = seq
+    outputs, _ = synth.model.forward(
+        synth._params, synth._bn_state, jnp.asarray(ids),
+        jnp.asarray([len(seq)], jnp.int32),
+        speaker_ids=jnp.zeros((1,), jnp.int32), is_training=False)
+    steps = int(np.asarray(outputs["decoder_steps"])[0])
+    total = min(steps, cfg.max_iters) * cfg.outputs_per_step
+    mel = np.asarray(outputs["mel_outputs"])[0, :total]
+    wav = vocoder.vocode(mel, temperature=0.0, seed=0)
+    return np.asarray(wav, np.float32), total
+
+
+def test_streaming_tts_matches_one_shot():
+    """Full streaming pipeline (chunked decode -> halo postnet -> carried
+    WaveNet) == one-shot decode -> postnet -> vocode, bit-exactly at
+    temperature 0. The random model never emits a stop frame, so the
+    stream runs to max_iters."""
+    from nspeech_tpu.serving.streaming import StreamingTTS
+
+    synth, vocoder = _micro_tts()
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    wav_ref, total = _streaming_reference(synth, vocoder, "hello world")
+    assert total == synth.cfg.max_iters * synth.cfg.outputs_per_step
+
+    chunks = list(tts.stream("hello world"))
+    assert len(chunks) > 1  # actually streamed
+    wav_stream = np.concatenate(chunks)
+    assert wav_stream.shape == wav_ref.shape
+    # identical code chains; only the final mu-law float decode differs
+    # by ~1 ulp across compilations (a flipped code would diverge the
+    # chain and blow far past this atol)
+    np.testing.assert_allclose(wav_stream, wav_ref, atol=1e-6)
+
+
+def test_streaming_tts_early_stop_matches_one_shot():
+    """stop_threshold chosen so the model stops mid-utterance: the
+    stream trims to the stop frame and still equals the one-shot path."""
+    from nspeech_tpu.serving.streaming import StreamingTTS
+
+    # pick a threshold that stops at an interior decoder step: the
+    # stop criterion reads the RAW decoder projection per step, so fetch
+    # those via the decoder primitives and take an interior per-step min
+    from nspeech_tpu.data.feeder import round_up
+    from nspeech_tpu.models import decoder as D
+    from nspeech_tpu.text import text_to_sequence
+    from nspeech_tpu.text.symbols import PAD_ID
+
+    synth0, _ = _micro_tts()
+    cfg0 = synth0.cfg
+    r = cfg0.outputs_per_step
+    seq = text_to_sequence("hello world", ["english_cleaners"])
+    ids = np.full((1, round_up(len(seq), 16)), PAD_ID, np.int32)
+    ids[0, : len(seq)] = seq
+    ctx, cell0 = synth0.model.attention_context(
+        synth0._params, synth0._bn_state, jnp.asarray(ids),
+        jnp.asarray([len(seq)], jnp.int32), jnp.zeros((1,), jnp.int32))
+    step = synth0.model.make_eval_step(synth0._params, ctx)
+    raw_outs, _, _ = D.scan_autoregressive(
+        step, cell0, 1, cfg0.num_mels, r, max_iters=cfg0.max_iters)
+    per_step = np.abs(np.asarray(raw_outs))[:, 0, :].max(axis=1)
+    s_star = 1 + int(np.argmin(per_step[1:]))
+    thresh = float(per_step[s_star]) + 1e-6
+
+    synth, vocoder = _micro_tts(stop_threshold=thresh)
+    wav_ref, total = _streaming_reference(synth, vocoder, "hello world")
+    assert 0 < total < synth.cfg.max_iters * r  # really stopped early
+
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    wav_stream = tts.synthesize("hello world")
+    assert wav_stream.shape == wav_ref.shape
+    np.testing.assert_allclose(wav_stream, wav_ref, atol=1e-6)
+
+
 @pytest.mark.smoke
 def test_wavenet_chunked_generation_unconditioned():
     net, params = _micro_wavenet(lc=0)
