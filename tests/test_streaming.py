@@ -260,3 +260,37 @@ def test_wavenet_chunked_generation_unconditioned():
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(a), np.asarray(b)], axis=1),
         np.asarray(ref))
+
+
+def test_streaming_tts_taco1_matches_one_shot():
+    """Tacotron-1: no postnet on the mel path (halo=0); the stream still
+    equals the one-shot decode -> vocode path."""
+    from nspeech_tpu.serving import Synthesizer, StreamingTTS, WaveNetVocoder
+
+    cfg = load_config("taco1")
+    cfg.parse("max_iters=6,encoder_cbhg_banks=1,post_cbhg_banks=1,"
+              "attention_dim=16,decoder_dim=16,embedding_dim=16,"
+              "griffin_lim_iters=1")
+    cfg.encoder_prenet = [16, 16]
+    cfg.encoder_cbhg_bank_sizes = [16]
+    cfg.post_cbhg_bank_sizes = [80]
+    model = create_model("taco1", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, bn_state, model=model)
+
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=80,batch_size=1")
+    net = create_model("wavenet", vcfg)
+    vocoder = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, net.init(jax.random.PRNGKey(1)))
+
+    wav_ref, total = _streaming_reference(synth, vocoder, "stream me")
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    assert tts._halo == 0  # taco1: decoder frames ARE the mel
+    wav_stream = tts.synthesize("stream me")
+    assert wav_stream.shape == wav_ref.shape
+    np.testing.assert_allclose(wav_stream, wav_ref, atol=1e-6)
