@@ -106,7 +106,7 @@ HTML_BODY = b"""<!doctype html>
 """
 
 
-def make_app(synthesizer, cfg):
+def make_app(synthesizer, cfg, streamer=None):
     """``synthesizer`` is anything with .synthesize(text, speaker_id) ->
     (wav, mel, lin) — a Synthesizer or a TextToSpeech pipeline."""
 
@@ -115,6 +115,37 @@ def make_app(synthesizer, cfg):
         if path == "/":
             start_response("200 OK", [("Content-Type", "text/html")])
             return [HTML_BODY]
+        if path == "/synthesize_stream":
+            if streamer is None:
+                start_response("404 Not Found",
+                               [("Content-Type", "text/plain")])
+                return [b"streaming needs a WaveNet vocoder "
+                        b"(--vocoder-checkpoint)"]
+            params = parse_qs(environ.get("QUERY_STRING", ""))
+            text = (params.get("text") or [""])[0]
+            if not text:
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [b"missing ?text="]
+            try:
+                speaker_id = int((params.get("speaker_id") or ["-1"])[0])
+            except ValueError:
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [b"speaker_id must be an integer"]
+            from nspeech_tpu.dsp import encode_pcm16, wav_stream_header
+
+            # No Content-Length: chunks leave as the device produces
+            # them (the point of streaming); the header advertises
+            # unknown WAV sizes.
+            start_response("200 OK", [("Content-Type", "audio/wav")])
+
+            def body():
+                yield wav_stream_header(cfg.sample_rate)
+                for chunk in streamer.stream(text, speaker_id):
+                    yield encode_pcm16(chunk)
+
+            return body()
         if path == "/synthesize":
             params = parse_qs(environ.get("QUERY_STRING", ""))
             text = (params.get("text") or [""])[0]
@@ -223,6 +254,9 @@ def main() -> None:
                         help="WaveNet vocoder checkpoint dir (else Griffin-Lim)")
     parser.add_argument("--vocoder-model", default=None)
     parser.add_argument("--vocoder-hparams", default="")
+    parser.add_argument("--stream-chunk-frames", type=int, default=40,
+                        help="Mel frames per /synthesize_stream chunk "
+                             "(0.5 s at the default 12.5 ms frame shift)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
@@ -252,14 +286,23 @@ def main() -> None:
         args.checkpoint, args.model, overrides, step=args.checkpoint_step)
     cfg = synthesizer.cfg
     print(config.debug_string(cfg))
+    streamer = None
     if args.vocoder_checkpoint:
-        from nspeech_tpu.serving import TextToSpeech, WaveNetVocoder
+        from nspeech_tpu.serving import (
+            StreamingTTS,
+            TextToSpeech,
+            WaveNetVocoder,
+        )
 
         vocoder = WaveNetVocoder.from_checkpoint(
             args.vocoder_checkpoint, args.vocoder_model,
             args.vocoder_hparams)
+        if vocoder.net.lc_channels > 0:
+            # GET /synthesize_stream: chunked audio while decoding
+            streamer = StreamingTTS(synthesizer, vocoder,
+                                    chunk_frames=args.stream_chunk_frames)
         synthesizer = TextToSpeech(synthesizer, vocoder)
-    app = make_app(synthesizer, cfg)
+    app = make_app(synthesizer, cfg, streamer=streamer)
     print("Serving on port %d" % args.port)
     simple_server.make_server("0.0.0.0", args.port, app).serve_forever()
 

@@ -18,4 +18,10 @@ from nspeech_tpu.dsp.audio import (  # noqa: F401
 from nspeech_tpu.dsp.mel import mel_filterbank  # noqa: F401
 from nspeech_tpu.dsp.mulaw import mu_law_decode, mu_law_encode  # noqa: F401
 from nspeech_tpu.dsp.trim import trim_silence, trim_wav  # noqa: F401
-from nspeech_tpu.dsp.wavio import encode_wav_bytes, load_wav, save_wav  # noqa: F401
+from nspeech_tpu.dsp.wavio import (  # noqa: F401
+    encode_pcm16,
+    encode_wav_bytes,
+    load_wav,
+    save_wav,
+    wav_stream_header,
+)

@@ -61,3 +61,27 @@ def encode_wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     wav = wav * (32767.0 / max(0.01, float(np.max(np.abs(wav)))))
     wavfile.write(buf, sample_rate, wav.astype(np.int16))
     return buf.getvalue()
+
+
+def wav_stream_header(sample_rate: int, channels: int = 1,
+                      bits: int = 16) -> bytes:
+    """RIFF/WAV header with UNKNOWN (maximal) chunk sizes, for chunked
+    HTTP streaming where the total length is not known when the first
+    bytes leave. Players treat 0xFFFFFFFF as "read until EOF"."""
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    sample_rate, byte_rate, block_align,
+                                    bits)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+def encode_pcm16(wav: np.ndarray) -> bytes:
+    """float [-1, 1] -> little-endian int16 PCM bytes at FIXED gain (no
+    per-utterance normalization — streaming chunks must share one
+    scale; mu-law decoded audio is already in [-1, 1])."""
+    x = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()

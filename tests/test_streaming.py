@@ -294,3 +294,48 @@ def test_streaming_tts_taco1_matches_one_shot():
     wav_stream = tts.synthesize("stream me")
     assert wav_stream.shape == wav_ref.shape
     np.testing.assert_allclose(wav_stream, wav_ref, atol=1e-6)
+
+
+def test_demo_server_streaming_route():
+    """GET /synthesize_stream yields a RIFF header with unknown sizes
+    followed by PCM chunks as the device produces them; decoded PCM
+    equals the StreamingTTS output at fixed gain. Without a streamer the
+    route 404s with a hint."""
+    from types import SimpleNamespace
+
+    from demo_server import make_app
+    from nspeech_tpu.serving.streaming import StreamingTTS
+
+    synth, vocoder = _micro_tts()
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    app = make_app(synth, synth.cfg, streamer=tts)
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    pieces = list(app({"PATH_INFO": "/synthesize_stream",
+                       "QUERY_STRING": "text=hello+world"}, start_response))
+    assert captured["status"] == "200 OK"
+    assert captured["headers"]["Content-Type"] == "audio/wav"
+    assert "Content-Length" not in captured["headers"]  # streamed
+    assert pieces[0][:4] == b"RIFF" and pieces[0][8:12] == b"WAVE"
+    assert pieces[0][4:8] == b"\xff\xff\xff\xff"  # unknown total size
+    assert len(pieces) >= 3  # header + >=2 audio chunks
+
+    pcm = np.frombuffer(b"".join(pieces[1:]), "<i2").astype(np.float32)
+    ref = np.clip(tts.synthesize("hello world"), -1, 1) * 32767.0
+    np.testing.assert_allclose(pcm, ref.astype(np.int16).astype(np.float32),
+                               atol=1.0)
+
+    body = b"".join(app({"PATH_INFO": "/synthesize_stream",
+                         "QUERY_STRING": "text=x"},
+                        lambda s, h: captured.update(status=s)))
+    # same app WITHOUT a streamer: route is absent
+    app2 = make_app(synth, synth.cfg)
+    body = b"".join(app2({"PATH_INFO": "/synthesize_stream",
+                          "QUERY_STRING": "text=x"}, start_response))
+    assert captured["status"].startswith("404")
+    assert b"vocoder" in body
