@@ -245,6 +245,43 @@ def bench_taco2_serving():
     return best, audio_secs
 
 
+def bench_streaming_first_audio():
+    """Time-to-first-audio of the streaming serving path
+    (serving/streaming.py): seconds from the stream() call until the
+    first waveform chunk is on host. A random-init model never stops,
+    so the decoder would run its full budget in the one-shot path —
+    streaming yields its first 0.5 s chunk after ~3 decoder chunks
+    instead. Returns best-of-3 seconds."""
+    import nspeech_tpu.config as config
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.serving.pipeline import WaveNetVocoder
+    from nspeech_tpu.serving.streaming import StreamingTTS
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+
+    cfg = config.load_config("taco2")
+    model = create_model("taco2", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    syn = Synthesizer(cfg).set_variables(params, bn_state, model=model)
+    vcfg = config.load_config("wavenet")
+    vcfg.parse("lc_channels=80")
+    from nspeech_tpu.models.wavenet import WaveNet
+
+    net = WaveNet(vcfg)
+    voc = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, net.init(jax.random.PRNGKey(1)))
+    tts = StreamingTTS(syn, voc, chunk_frames=40)
+    text = "The birch canoe slid on the smooth planks across the lake."
+
+    def first_chunk_sec() -> float:
+        start = time.perf_counter()
+        for _ in tts.stream(text):
+            return time.perf_counter() - start
+        raise RuntimeError("stream produced no audio")
+
+    first_chunk_sec()  # compile all chunk programs
+    return min(first_chunk_sec() for _ in range(3))
+
+
 def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
     print(json.dumps({
         "metric": metric,
@@ -387,6 +424,20 @@ def main() -> None:
         sec_utt, audio_secs = bench_taco2_serving()
         _emit("taco2_serving_sec_per_utterance_cap", round(sec_utt, 4),
               "sec", round(audio_secs / sec_utt, 2), args.precision)
+
+        # Streaming serving: time-to-first-audio. vs_baseline = the
+        # one-shot cap latency over TTFA (how much sooner the first
+        # audio reaches the client). Guarded: a failure here must not
+        # void the already-emitted metrics.
+        try:
+            ttfa = bench_streaming_first_audio()
+            _emit("taco2_streaming_first_audio_sec", round(ttfa, 4),
+                  "sec", round(sec_utt / ttfa, 2), args.precision)
+        except Exception as e:  # pragma: no cover - defensive
+            import sys
+
+            print("bench: streaming first-audio metric failed: %s" % e,
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":
