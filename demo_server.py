@@ -62,6 +62,7 @@ HTML_BODY = b"""<!doctype html>
   <div class="row">
     <label for="spk">speaker</label>
     <input id="spk" type="number" value="-1" min="-1">
+    <label><input id="live" type="checkbox"> stream</label>
     <button id="go">Synthesize</button>
   </div>
   <div id="status"></div>
@@ -73,7 +74,8 @@ HTML_BODY = b"""<!doctype html>
   async function speak() {
     const text = el('utt').value.trim();
     if (!text) { return; }
-    const url = '/synthesize?text=' + encodeURIComponent(text) +
+    const route = el('live').checked ? '/synthesize_stream' : '/synthesize';
+    const url = route + '?text=' + encodeURIComponent(text) +
                 '&speaker_id=' + encodeURIComponent(el('spk').value || '-1');
     el('go').disabled = true;
     el('status').className = '';
@@ -81,13 +83,23 @@ HTML_BODY = b"""<!doctype html>
     el('player').className = '';
     const t0 = performance.now();
     try {
-      const res = await fetch(url);
-      if (!res.ok) { throw new Error(await res.text() || res.statusText); }
-      el('player').src = URL.createObjectURL(await res.blob());
-      el('player').className = 'ready';
-      el('player').play();
-      const dt = ((performance.now() - t0) / 1000).toFixed(2);
-      el('status').textContent = 'done in ' + dt + ' s';
+      if (el('live').checked) {
+        // progressive playback: the browser starts as chunks arrive
+        // (needs the server started with --vocoder-checkpoint)
+        el('player').src = url + '&t=' + Date.now();
+        el('player').className = 'ready';
+        await el('player').play();
+        const dt = ((performance.now() - t0) / 1000).toFixed(2);
+        el('status').textContent = 'first audio in ' + dt + ' s (streaming)';
+      } else {
+        const res = await fetch(url);
+        if (!res.ok) { throw new Error(await res.text() || res.statusText); }
+        el('player').src = URL.createObjectURL(await res.blob());
+        el('player').className = 'ready';
+        el('player').play();
+        const dt = ((performance.now() - t0) / 1000).toFixed(2);
+        el('status').textContent = 'done in ' + dt + ' s';
+      }
     } catch (err) {
       el('status').className = 'error';
       el('status').textContent = String(err.message || err);
