@@ -204,28 +204,45 @@ class ExportedSynthesizer:
     def synthesize(self, text: str, speaker_id: int = -1
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (waveform float32, mel [T,M], linear [T,F])."""
+        wavs, mels, lins = self.synthesize_batch([text], [speaker_id])
+        return wavs[0], mels[0], lins[0]
+
+    def synthesize_batch(self, texts, speaker_ids=None):
+        """Batch synthesis through the exported program, ``batch`` texts
+        per call (the artifact's static batch; larger requests run in
+        groups). Returns (list of wavs, mels [N,T,M], lins [N,T,F])."""
+        from nspeech_tpu.serving.errors import ClientError
         from nspeech_tpu.text import text_to_sequence
         from nspeech_tpu.text.symbols import PAD_ID
 
-        from nspeech_tpu.serving.errors import ClientError
-
-        seq = text_to_sequence(text, self._cleaners)
+        if speaker_ids is None:
+            speaker_ids = [-1] * len(texts)
         n, t = self.meta["batch"], self.meta["text_len"]
-        if len(seq) > t:
-            raise ClientError(
-                "text encodes to %d ids; this artifact was exported for "
-                "text_len=%d" % (len(seq), t))
-        ids = np.full((n, t), PAD_ID, np.int32)
-        ids[0, : len(seq)] = seq
-        lengths = np.zeros((n,), np.int32)
-        lengths[0] = len(seq)
-        spk = np.zeros((n,), np.int32)
-        spk[0] = max(speaker_id, 0)
-        wavs, mels, lins, _aligns, _steps = self._call(
-            jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(spk),
-            jax.random.PRNGKey(0))
-        wav = self._postprocess(np.asarray(wavs[0], np.float32))
-        return wav, np.asarray(mels[0]), np.asarray(lins[0])
+        seqs = [text_to_sequence(x, self._cleaners) for x in texts]
+        for x, seq in zip(texts, seqs):
+            if len(seq) > t:
+                raise ClientError(
+                    "text %r encodes to %d ids; this artifact was "
+                    "exported for text_len=%d" % (x[:40], len(seq), t))
+        out_wavs, out_mels, out_lins = [], [], []
+        for g in range(0, len(seqs), n):
+            group = seqs[g: g + n]
+            ids = np.full((n, t), PAD_ID, np.int32)
+            lengths = np.zeros((n,), np.int32)
+            spk = np.zeros((n,), np.int32)
+            for i, seq in enumerate(group):
+                ids[i, : len(seq)] = seq
+                lengths[i] = len(seq)
+                spk[i] = max(speaker_ids[g + i], 0)
+            wavs, mels, lins, _aligns, _steps = self._call(
+                jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(spk),
+                jax.random.PRNGKey(0))
+            for i in range(len(group)):
+                out_wavs.append(
+                    self._postprocess(np.asarray(wavs[i], np.float32)))
+                out_mels.append(np.asarray(mels[i]))
+                out_lins.append(np.asarray(lins[i]))
+        return out_wavs, np.stack(out_mels), np.stack(out_lins)
 
     def _postprocess(self, wav: np.ndarray) -> np.ndarray:
         # numpy twins of dsp.inv_preemphasis (y[n] = x[n] + k*y[n-1]) and

@@ -73,6 +73,22 @@ def test_export_rejects_overlong_text(tmp_path):
         ex.synthesize("this text is far longer than eight symbols")
 
 
+def test_export_batched_artifact(tmp_path):
+    """A batch=2 artifact serves N texts in groups through one compiled
+    program; row-0 results equal the single-text call bit for bit."""
+    synth = _micro_synth()
+    out = export_synthesizer(synth, str(tmp_path / "art"), text_len=32,
+                             batch=2)
+    ex = ExportedSynthesizer(out)
+    wavs, mels, lins = ex.synthesize_batch(
+        ["first text", "second text", "third"])
+    assert len(wavs) == 3 and mels.shape[0] == 3 and lins.shape[0] == 3
+    assert all(np.isfinite(w).all() for w in wavs)
+    wav1, mel1, lin1 = ex.synthesize("first text")
+    np.testing.assert_array_equal(mels[0], mel1)
+    np.testing.assert_array_equal(wavs[0], wav1)
+
+
 def test_vocoder_export_round_trip_exact(tmp_path):
     """export_vocoder: the serialized mel->wav program (scan generator +
     on-device upsample + mu-law decode) matches the live vocoder
