@@ -146,7 +146,18 @@ def make_app(synthesizer, cfg, streamer=None):
                                [("Content-Type", "text/plain")])
                 return [b"speaker_id must be an integer"]
             from nspeech_tpu.dsp import encode_pcm16, wav_stream_header
+            from nspeech_tpu.serving import ClientError
 
+            # Build (and start) the stream BEFORE committing to 200 so
+            # input rejections still map to 400 — once the header is
+            # out, errors can only truncate the body.
+            try:
+                chunks = streamer.stream(text, speaker_id)
+                first = next(chunks, None)
+            except ClientError as e:
+                start_response("400 Bad Request",
+                               [("Content-Type", "text/plain")])
+                return [str(e).encode("utf-8")]
             # No Content-Length: chunks leave as the device produces
             # them (the point of streaming); the header advertises
             # unknown WAV sizes.
@@ -154,8 +165,15 @@ def make_app(synthesizer, cfg, streamer=None):
 
             def body():
                 yield wav_stream_header(cfg.sample_rate)
-                for chunk in streamer.stream(text, speaker_id):
-                    yield encode_pcm16(chunk)
+                if first is None:
+                    return
+                yield encode_pcm16(first)
+                try:
+                    for chunk in chunks:
+                        yield encode_pcm16(chunk)
+                except Exception as e:  # mid-stream device fault: the
+                    # 200 is already on the wire; log and truncate
+                    print("synthesize_stream aborted mid-body: %s" % e)
 
             return body()
         if path == "/synthesize":

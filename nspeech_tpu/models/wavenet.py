@@ -499,6 +499,10 @@ class WaveNet:
         if self.lc_channels and lc is None:
             raise ValueError("model has lc_channels=%d; pass lc= to "
                              "generate_chunk" % self.lc_channels)
+        if lc is not None and not self.lc_channels:
+            raise ValueError(
+                "lc given but model has lc_channels=0 — it would be "
+                "silently ignored (the reference's defect, wavenet.py:398)")
         Q = self.quantization_channels
         gc = self._embed_gc(params, gc_ids)
         batch = carry[1].shape[0]

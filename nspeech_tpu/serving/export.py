@@ -181,6 +181,11 @@ class ExportedVocoder:
         n, t_real = self.meta["batch"], mel.shape[0]
         mels = np.zeros((n, frames, mel.shape[1]), np.float32)
         mels[0, :t_real] = mel
+        # edge-hold the pad: the live vocoder's upsample clips its frame
+        # index at t_real-1 (holds the last frame), while the exported
+        # program's clip bound is the static `frames` — replicating the
+        # last real frame makes the final hop's interpolation identical
+        mels[0, t_real:] = mel[t_real - 1]
         wavs = self._call(jnp.asarray(mels), jax.random.PRNGKey(seed))
         return np.asarray(wavs[0][: t_real * self.meta["hop"]], np.float32)
 

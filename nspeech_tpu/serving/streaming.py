@@ -105,6 +105,18 @@ class StreamingTTS:
                           * (cfg.postnet_conv_width // 2))
         else:
             self._halo = 0
+        # the one-shot postnet input is exactly the [max_iters*r]-frame
+        # decode buffer: windows are carved from WITHIN it (its 0 / B
+        # edges are the TRUE boundaries where conv SAME padding applies
+        # per layer; synthesizing zero fill outside it would feed the
+        # first conv data where the one-shot applies padding, which
+        # bias/BN turn nonzero — not exact). Windows need k + 2*halo
+        # frames; tiny budgets fall back to one whole-buffer window.
+        self._buf_frames = cfg.max_iters * r
+        if self.k > self._buf_frames:       # chunk can't exceed the budget
+            self.k = self._buf_frames
+            self._k_steps = self.k // r
+        self._whole_postnet = self._buf_frames < self.k + 2 * self._halo
         self._jit_programs()
 
     # -- jitted chunk programs (compiled once per text bucket) ---------------
@@ -134,20 +146,23 @@ class StreamingTTS:
             return outs, carry
 
         @jax.jit
-        def mel_chunk(window):                 # [1, k + 2*halo, M]
+        def mel_chunk(window, crop):
+            # window: [1, k + 2*halo, M] carved from inside the decode
+            # buffer (or [1, B, M] in whole-buffer fallback); ``crop`` is
+            # the (traced) offset of the k emitted frames inside it
             if hasattr(model, "postnet_residual"):
                 res = model.postnet_residual(params, bn, window)
                 mel = window + res
             else:
                 mel = window
-            return mel[:, halo: halo + k]
+            return jax.lax.dynamic_slice_in_dim(mel, crop, k, axis=1)
 
         @jax.jit
-        def voc_chunk(carry, mel_window, a, total_frames):
+        def voc_chunk(carry, mel_window, a, total_frames, gc_ids):
             lc = _upsample_abs(mel_window, a, hop, k * hop, total_frames)
             codes, carry = self.net.generate_chunk(
                 self._vparams, carry, k * hop, jax.random.PRNGKey(0),
-                lc=lc, temperature=self._temperature)
+                gc_ids=gc_ids, lc=lc, temperature=self._temperature)
             from nspeech_tpu.dsp import mu_law_decode
 
             return mu_law_decode(codes, self.net.quantization_channels), carry
@@ -172,42 +187,48 @@ class StreamingTTS:
         lengths = jnp.asarray([len(seq)], jnp.int32)
         spk = jnp.asarray([max(speaker_id, 0)], jnp.int32)
 
+        gc = (jnp.asarray([speaker_id], jnp.int32)
+              if speaker_id >= 0 and self.net.gc_channels else None)
+
         ctx, out0, carry = self._start(jnp.asarray(ids), lengths, spk)
-        dec = [np.asarray(D.assemble_outputs(out0[None], cfg.num_mels))[0]]
+        B = self._buf_frames           # the one-shot postnet input size
+        dec = np.zeros((B, cfg.num_mels), np.float32)   # decode buffer
+        dec[:r] = np.asarray(D.assemble_outputs(out0[None], cfg.num_mels))[0]
         head = r                       # decoded frames so far
         steps_done = 1
 
-        mel = np.zeros((0, cfg.num_mels), np.float32)  # postnet'ed frames
+        mel = np.zeros((B, cfg.num_mels), np.float32)   # postnet'ed frames
+        mel_head = 0
         voc_carry = self.net.generate_carry0(batch=1)
         a = 0                          # next frame to vocode
         total: Optional[int] = None    # utterance frames, once known
 
-        def dec_window(lo, hi):
-            """Decoded frames [lo, hi) with zero fill outside — equal to
-            the one-shot buffer's zero tail / SAME padding."""
-            buf = np.concatenate(dec, axis=0)
-            out = np.zeros((hi - lo, cfg.num_mels), np.float32)
-            s, e = max(lo, 0), min(hi, buf.shape[0])
-            if e > s:
-                out[s - lo: e - lo] = buf[s:e]
-            return out
-
         def mel_ready(upto):
-            """Extend the postnet'ed mel to cover frames [0, upto)."""
-            nonlocal mel
-            while mel.shape[0] < upto:
-                b = mel.shape[0]
-                win = dec_window(b - halo, b + k + halo)[None]
-                mel = np.concatenate(
-                    [mel, np.asarray(self._mel_chunk(jnp.asarray(win)))[0]])
+            """Extend the postnet'ed mel to cover frames [0, upto).
+            Windows are carved from WITHIN the [0, B) decode buffer so
+            their 0/B edges coincide with the true sequence boundaries
+            (per-layer conv SAME padding then matches the one-shot
+            postnet exactly); interior edges keep a full ``halo`` crop."""
+            nonlocal mel_head
+            while mel_head < upto:
+                b = mel_head
+                if self._whole_postnet:
+                    w0, win = 0, dec
+                else:
+                    w0 = min(max(b - halo, 0), B - (k + 2 * halo))
+                    win = dec[w0: w0 + k + 2 * halo]
+                out = self._mel_chunk(jnp.asarray(win[None]),
+                                      jnp.asarray(b - w0, jnp.int32))
+                n = min(k, B - b)
+                mel[b: b + n] = np.asarray(out)[0, :n]
+                mel_head = b + n
 
         def vocode_next(final_total):
-            """Vocode frames [a, a+k); returns trimmed samples."""
+            """Vocode frames [a, a+k); returns the wav chunk."""
             nonlocal a, voc_carry
-            need = min(a + k + 1, final_total or a + k + 1)
-            mel_ready(need)
+            mel_ready(min(a + k + 1, final_total or a + k + 1, B))
             win = np.zeros((k + 1, cfg.num_mels), np.float32)
-            avail = min(a + k + 1, mel.shape[0]) - a
+            avail = min(a + k + 1, mel_head) - a
             win[:avail] = mel[a: a + avail]
             if avail < k + 1 and avail > 0:   # edge-hold replication
                 win[avail:] = win[avail - 1]
@@ -216,7 +237,7 @@ class StreamingTTS:
             wav, voc_carry = self._voc_chunk(
                 voc_carry, jnp.asarray(win[None]),
                 jnp.asarray(a, jnp.int32),
-                jnp.asarray(clip_total, jnp.int32))
+                jnp.asarray(clip_total, jnp.int32), gc)
             a += k
             return np.asarray(wav)[0]
 
@@ -229,15 +250,21 @@ class StreamingTTS:
             while head >= a + 2 * k + halo:
                 yield vocode_next(None)
             outs, carry = self._dec_chunk(ctx, carry)
-            dec.append(np.asarray(
-                D.assemble_outputs(outs, cfg.num_mels))[0])
-            head += self._k_steps * r
+            got = np.asarray(D.assemble_outputs(outs, cfg.num_mels))[0]
+            n = min(got.shape[0], B - head)  # budget overshoot frames do
+            if n > 0:                        # not exist in the one-shot
+                dec[head: head + n] = got[:n]  # buffer — drop them
+            head = min(head + got.shape[0], B)
             steps_done += self._k_steps
 
         total = int(min(np.asarray(carry[4])[0], budget)) * r
         while a < total:
             chunk = vocode_next(total)
             yield chunk[: (total - a + k) * self._hop]  # a already advanced
+        # inspection hook (tests assert it equals the one-shot postnet
+        # output over the voiced frames)
+        self.last_mel = mel[:total].copy()
+        self.last_total_frames = total
 
     def synthesize(self, text: str, speaker_id: int = -1) -> np.ndarray:
         """Concatenate the stream (convenience / testing)."""

@@ -124,9 +124,14 @@ def test_vocoder_export_round_trip_exact(tmp_path):
     np.testing.assert_allclose(np.asarray(wav_live, np.float32), wav_exp,
                                atol=1e-5)
 
-    # shorter mel: padded up inside, trimmed back to T*hop on return
+    # shorter mel: edge-hold padded inside, trimmed back to T*hop on
+    # return — and equal to the live vocoder on the same short mel (the
+    # pad replication reproduces the live upsample's frame clip)
     short = ex.vocode(mel[:2], seed=3)
     assert len(short) == 2 * ex.meta["hop"]
+    live_short = vocoder.vocode(mel[:2], temperature=0.0, seed=3)
+    np.testing.assert_allclose(np.asarray(live_short, np.float32), short,
+                               atol=1e-5)
 
     with pytest.raises(ValueError, match="frames=4"):
         ex.vocode(rng.random((9, 80)).astype(np.float32))

@@ -160,6 +160,24 @@ def _micro_tts(stop_threshold=0.0):
     return synth, vocoder
 
 
+def _one_shot_mel(synth, text, bucket=16, speaker_id=0):
+    """The full-buffer postnet mel the stream's windows must reproduce."""
+    from nspeech_tpu.data.feeder import round_up
+    from nspeech_tpu.text import text_to_sequence
+    from nspeech_tpu.text.symbols import PAD_ID
+
+    cfg = synth.cfg
+    seq = text_to_sequence(text, [c.strip() for c in cfg.cleaners.split(",")])
+    ids = np.full((1, round_up(len(seq), bucket)), PAD_ID, np.int32)
+    ids[0, : len(seq)] = seq
+    outputs, _ = synth.model.forward(
+        synth._params, synth._bn_state, jnp.asarray(ids),
+        jnp.asarray([len(seq)], jnp.int32),
+        speaker_ids=jnp.full((1,), speaker_id, jnp.int32),
+        is_training=False)
+    return np.asarray(outputs["mel_outputs"])[0]
+
+
 def _streaming_reference(synth, vocoder, text, bucket=16):
     """One-shot path the stream must equal: full decode -> full postnet
     mel -> whole-utterance vocode of the voiced frames."""
@@ -204,6 +222,12 @@ def test_streaming_tts_matches_one_shot():
     # by ~1 ulp across compilations (a flipped code would diverge the
     # chain and blow far past this atol)
     np.testing.assert_allclose(wav_stream, wav_ref, atol=1e-6)
+    # mel-level exactness (stronger than the wav check, which could in
+    # principle pass through argmax luck): the windowed postnet must
+    # reproduce the one-shot postnet INCLUDING the true-boundary frames
+    # and the frames next to the decode-budget end
+    mel_ref = _one_shot_mel(synth, "hello world")[:tts.last_total_frames]
+    np.testing.assert_allclose(tts.last_mel, mel_ref, atol=1e-6)
 
 
 def test_streaming_tts_early_stop_matches_one_shot():
@@ -244,6 +268,8 @@ def test_streaming_tts_early_stop_matches_one_shot():
     wav_stream = tts.synthesize("hello world")
     assert wav_stream.shape == wav_ref.shape
     np.testing.assert_allclose(wav_stream, wav_ref, atol=1e-6)
+    mel_ref = _one_shot_mel(synth, "hello world")[:tts.last_total_frames]
+    np.testing.assert_allclose(tts.last_mel, mel_ref, atol=1e-6)
 
 
 @pytest.mark.smoke
@@ -339,3 +365,49 @@ def test_demo_server_streaming_route():
                           "QUERY_STRING": "text=x"}, start_response))
     assert captured["status"].startswith("404")
     assert b"vocoder" in body
+
+
+def test_streaming_tts_passes_global_conditioning():
+    """A gc-trained (multi-speaker) vocoder must receive the speaker id
+    on the STREAMING path too: the stream equals the one-shot pipeline
+    vocoded WITH gc, and differs from the unconditioned stream.
+    (Regression: voc_chunk once dropped gc entirely.)"""
+    from nspeech_tpu.serving import Synthesizer, StreamingTTS, WaveNetVocoder
+
+    cfg = load_config("taco2")
+    cfg.parse(
+        "max_iters=4,outputs_per_step=2,encoder_conv_layers=1,"
+        "postnet_conv_layers=2,postnet_conv_width=3,expand_conv_layers=1,"
+        "encoder_conv_channels=16,attention_dim=16,postnet_conv_channels=16,"
+        "expand_conv_channels=16,decoder_lstm_units=16,encoder_lstm_units=8,"
+        "expand_lstm_units=8,embedding_dim=16,griffin_lim_iters=1,"
+        "num_speakers=3")
+    model = create_model("taco2", cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.set_variables(params, bn_state, model=model)
+
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=80,batch_size=1,"
+               "gc_channels=4,gc_category_cardinality=3")
+    net = create_model("wavenet", vcfg)
+    vocoder = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, net.init(jax.random.PRNGKey(1)))
+
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    wav_spk1 = tts.synthesize("hi there", speaker_id=1)
+    # reference conditions BOTH stages on speaker 1 (acoustic embedding
+    # and vocoder gc) — exactly what the stream must reproduce
+    mel = _one_shot_mel(synth, "hi there",
+                        speaker_id=1)[: tts.last_total_frames]
+    np.testing.assert_allclose(tts.last_mel, mel, atol=1e-6)
+    # the one-shot pipeline semantics: speaker_id >= 0 -> gc_ids=[id]
+    ref = np.asarray(vocoder.vocode(mel, speaker_id=1, temperature=0.0,
+                                    seed=0), np.float32)
+    np.testing.assert_allclose(wav_spk1, ref, atol=1e-6)
+
+    wav_uncond = tts.synthesize("hi there", speaker_id=-1)
+    assert np.abs(wav_spk1 - wav_uncond).max() > 1e-3  # gc really applied
