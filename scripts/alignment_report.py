@@ -101,6 +101,34 @@ def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
     return float(np.median(peaks)) if peaks else 0.0
 
 
+def spectral_shift_ratio(wav_ref: np.ndarray, wav: np.ndarray,
+                         sample_rate: int, f_lo: float = 80.0,
+                         f_hi: float = 4000.0) -> float:
+    """Frequency-scale of ``wav`` relative to ``wav_ref`` — the shift
+    that best aligns their log-frequency log-spectra.
+
+    For the SAME utterance spoken by two speaker_voice() voices the
+    whole spectrum scales by the f_scale ratio, which appears as a rigid
+    shift on a log-frequency axis; correlating uses every partial at
+    once, so it is robust where a per-utterance median F0 occasionally
+    locks onto a subharmonic (observed: median-F0 ratio 0.9 on audio
+    whose spectral shift measured 1.53 against a designed 1.54)."""
+    n = min(len(wav_ref), len(wav), sample_rate * 4)
+    if n < 2048:
+        return 0.0
+    f = np.fft.rfftfreq(n, 1.0 / sample_rate)
+    grid = np.geomspace(f_lo, f_hi, 2048)
+    win = np.hanning(n)
+    logs = []
+    for w in (wav_ref, wav):
+        mag = np.abs(np.fft.rfft(w[:n] * win))
+        ls = np.log(np.interp(grid, f, mag) + 1e-6)
+        logs.append(ls - ls.mean())
+    xc = np.correlate(logs[1], logs[0], "full")
+    shift = int(np.argmax(xc)) - (len(grid) - 1)
+    return float((grid[1] / grid[0]) ** shift)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--run-dir", required=True,
@@ -170,16 +198,23 @@ def main() -> None:
                     # it can land on a harmonic/formant — caveat lector).
                     per_speaker[spk]["median_f0_hz"] = round(
                         median_f0(wav, synth.cfg.sample_rate), 1)
+                    per_speaker[spk]["_wav"] = wav
             entry = {"text": text}
             if speakers == [-1]:
                 entry.update(per_speaker[-1])
             else:
+                wavs = [per_speaker[s].pop("_wav") for s in speakers]
                 entry["per_speaker"] = {str(k): v
                                         for k, v in per_speaker.items()}
                 f0s = [per_speaker[s]["median_f0_hz"] for s in speakers]
                 if f0s[0] > 0:
                     entry["f0_ratio_vs_first_speaker"] = [
                         round(f / f0s[0], 3) for f in f0s]
+                # whole-spectrum ratio: robust companion to median F0
+                entry["spectral_ratio_vs_first_speaker"] = [
+                    round(spectral_shift_ratio(
+                        wavs[0], w, synth.cfg.sample_rate), 3)
+                    for w in wavs]
             report["texts"].append(entry)
 
     path = os.path.join(args.out, "report.json")
