@@ -272,3 +272,27 @@ def test_cmudict_and_substitution():
     text = " ".join(feeder._maybe_arpabet(w, AlwaysLow())
                     for w in "hello strange world".split())
     assert text == "{HH AH0 L OW1} strange {W ER1 L D}"
+
+
+def test_spectral_shift_ratio_recovers_designed_scale():
+    """The log-frequency spectral-shift estimator recovers a known
+    frequency scaling between two renderings of the same content —
+    including with different harmonic tilts, where a peak-based F0
+    estimator tracks the wrong partial."""
+    ar = _load_script("alignment_report")
+    sr = 20000
+    t = np.arange(2 * sr) / sr
+    scale = 1.54
+
+    def voice(f0, tilt):
+        return sum((tilt ** (h - 1)) * 0.3 * np.sin(2 * np.pi * h * f0 * t)
+                   for h in (1, 2, 3)).astype(np.float32)
+
+    # same "utterance" (two tones in sequence), scaled + tilted
+    a = np.concatenate([voice(220, 0.6)[:sr], voice(330, 0.6)[:sr]])
+    b = np.concatenate([voice(220 * scale, 1.5)[:sr],
+                        voice(330 * scale, 1.5)[:sr]])
+    est = ar.spectral_shift_ratio(a, b, sr)
+    assert abs(est - scale) / scale < 0.05, est
+    # identity control
+    assert abs(ar.spectral_shift_ratio(a, a, sr) - 1.0) < 0.01
