@@ -77,6 +77,27 @@ def initial_alignments(attention_type: str, batch: int, t_in: int) -> jnp.ndarra
     return jnp.zeros((batch, t_in))
 
 
+def window_mask(
+    prev_alignments: jnp.ndarray,   # [N, T_in]
+    mask: Optional[jnp.ndarray],    # [N, T_in] or None
+    back: int,
+    fwd: int,
+) -> jnp.ndarray:
+    """Inference-time monotonic attention window: restrict the softmax
+    to positions within [p-back, p+fwd] of the previously attended
+    position p = argmax(prev_alignments).
+
+    A deployment-robustness device (used by Deep Voice-era Tacotron
+    servers): it forbids the mechanism from jumping backward or far
+    ahead mid-utterance, bounding how badly a mis-step can derail the
+    decode. Serving-only — training alignments must stay free. Opt-in
+    via the ``attention_win_fwd``/``attention_win_back`` hparams."""
+    p = jnp.argmax(prev_alignments, axis=-1)[:, None]
+    idx = jnp.arange(prev_alignments.shape[-1])[None, :]
+    win = (idx >= p - back) & (idx <= p + fwd)
+    return win if mask is None else (win & mask)
+
+
 def _masked_softmax(score: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     if mask is not None:
         score = jnp.where(mask, score, -jnp.inf)

@@ -108,6 +108,9 @@ class Tacotron1:
         cfg = self.cfg
         att_type = cfg.attention_type
         drop = cfg.drop_rate if is_training else 0.0
+        win_fwd = int(cfg.get("attention_win_fwd", 0))
+        win_back = int(cfg.get("attention_win_back", 1))
+        windowed = (not is_training) and win_fwd > 0
 
         def step(carry, x, rng_t, zs=None):
             h1, context, align, h2, h3 = carry
@@ -126,9 +129,11 @@ class Tacotron1:
                     return h_new
 
                 h1 = gru("attn_gru", params["attn_gru"], pre, h1)
+                m = (A.window_mask(align, mask, win_back, win_fwd)
+                     if windowed else mask)
                 context, align = A.attention_step(
                     params["attention"], att_type, h1, align, keys_mem,
-                    values, mask)
+                    values, m)
                 concat_out = jnp.concatenate([h1, context], axis=-1)
                 proj, aux["out_proj"] = DF.dense_deferred(
                     params["out_proj"], concat_out, zs["out_proj"])
@@ -140,8 +145,10 @@ class Tacotron1:
                     params["frame_proj"], o3, zs["frame_proj"])
                 return (h1, context, align, g2, g3), (out, align, aux)
             h1 = L.gru_cell(params["attn_gru"], pre, h1)
+            m = (A.window_mask(align, mask, win_back, win_fwd)
+                 if windowed else mask)
             context, align = A.attention_step(
-                params["attention"], att_type, h1, align, keys_mem, values, mask)
+                params["attention"], att_type, h1, align, keys_mem, values, m)
             concat_out = jnp.concatenate([h1, context], axis=-1)
             proj = L.dense(params["out_proj"], concat_out)
             g2 = L.gru_cell(params["gru2"], proj, h2)

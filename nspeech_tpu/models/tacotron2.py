@@ -100,6 +100,9 @@ class Tacotron2:
                    is_training: bool, deferred: bool = False):
         cfg = self.cfg
         drop = cfg.drop_rate if is_training else 0.0
+        win_fwd = int(cfg.get("attention_win_fwd", 0))
+        win_back = int(cfg.get("attention_win_back", 1))
+        windowed = (not is_training) and win_fwd > 0
 
         def step(carry, x, rng_t, zs=None):
             (c1, h1), context, align, (c2, h2), (c3, h3) = carry
@@ -113,9 +116,11 @@ class Tacotron2:
                     params["attn_lstm"], pre, (c1, h1), zs["attn_lstm"])
             else:
                 out1, (c1, h1) = L.lstm_cell(params["attn_lstm"], pre, (c1, h1))
+            m = (A.window_mask(align, mask, win_back, win_fwd)
+                 if windowed else mask)
             context, align = A.attention_step(
                 params["attention"], "location_sensitive", out1, align,
-                keys_mem, values, mask)
+                keys_mem, values, m)
             concat_out = jnp.concatenate([out1, context], axis=-1)
             if deferred:
                 out2, (c2, h2), xh2 = DF.lstm_cell_deferred(

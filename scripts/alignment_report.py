@@ -141,6 +141,9 @@ def main() -> None:
                              "per-speaker median F0 (speaker-conditioning "
                              "evidence for multi-speaker checkpoints)")
     parser.add_argument("--stop-threshold", type=float, default=0.02)
+    parser.add_argument("--hparams", default="",
+                        help="extra k=v overrides for the synthesizer "
+                             "(e.g. attention_win_fwd=4)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -158,8 +161,10 @@ def main() -> None:
         from nspeech_tpu.utils import plot
 
         ckpt = os.path.join(args.run_dir, "ckpt")
-        synth = Synthesizer.from_checkpoint(
-            ckpt, overrides="stop_threshold=%g" % args.stop_threshold)
+        overrides = "stop_threshold=%g" % args.stop_threshold
+        if args.hparams:
+            overrides += "," + args.hparams
+        synth = Synthesizer.from_checkpoint(ckpt, overrides=overrides)
         speakers = ([int(s) for s in args.speakers.split(",")]
                     if args.speakers else [-1])
         report["texts"] = []

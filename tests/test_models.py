@@ -504,3 +504,58 @@ def test_guided_attention_weight_trains(rng):
         assert "loss_guided_attention" in metrics
         losses.append(float(metrics["loss_guided_attention"]))
     assert losses[-1] < losses[0]
+
+
+def test_attention_window_constrains_eval_decode():
+    """attention_win_fwd > 0 (serving-only): each autoregressive step's
+    attention argmax stays within [p-back, p+fwd] of the previous step's
+    — a random-init model's attention normally jumps all over the text,
+    so the constraint holding step-for-step proves the window is live;
+    training mode must remain unwindowed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nspeech_tpu.config import load_config
+    from nspeech_tpu.models import create_model
+
+    cfg = load_config("taco2")
+    cfg.parse(
+        "max_iters=12,outputs_per_step=2,encoder_conv_layers=1,"
+        "postnet_conv_layers=1,expand_conv_layers=1,"
+        "encoder_conv_channels=16,attention_dim=16,postnet_conv_channels=16,"
+        "expand_conv_channels=16,decoder_lstm_units=16,encoder_lstm_units=8,"
+        "expand_lstm_units=8,embedding_dim=16,"
+        "attention_win_fwd=2,attention_win_back=1")
+    model = create_model("taco2", cfg)
+    params, bn = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(2, 40, (1, 24)), jnp.int32)
+    lengths = jnp.asarray([24], jnp.int32)
+
+    outputs, _ = model.forward(params, bn, ids, lengths,
+                               speaker_ids=jnp.zeros((1,), jnp.int32),
+                               is_training=False)
+    align = np.asarray(outputs["alignments"])[0]     # [T_in, S]
+    path = np.argmax(align, axis=0)
+    deltas = np.diff(path)
+    assert (deltas >= -1).all() and (deltas <= 2).all(), path
+
+    # control: without the window the same random model jumps
+    cfg2 = load_config("taco2")
+    cfg2.parse(
+        "max_iters=12,outputs_per_step=2,encoder_conv_layers=1,"
+        "postnet_conv_layers=1,expand_conv_layers=1,"
+        "encoder_conv_channels=16,attention_dim=16,postnet_conv_channels=16,"
+        "expand_conv_channels=16,decoder_lstm_units=16,encoder_lstm_units=8,"
+        "expand_lstm_units=8,embedding_dim=16")
+    model2 = create_model("taco2", cfg2)
+    out2, _ = model2.forward(params, bn, ids, lengths,
+                             speaker_ids=jnp.zeros((1,), jnp.int32),
+                             is_training=False)
+    path2 = np.argmax(np.asarray(out2["alignments"])[0], axis=0)
+    # the unwindowed model attends straight to an interior position at
+    # step 0; the window (anchored at the all-zero initial alignments'
+    # argmax 0) forbids that — proof the masking is live at eval
+    assert path2[0] > 2, path2
+    assert path[0] <= 2, path
