@@ -165,9 +165,28 @@ def train(log_dir: str, args, cfg) -> None:
         log("Dumped artifacts for step %d (input: %s)" % (step, text))
 
         if args.freerun_preview:
+            if args.freerun_text:
+                # NOVEL-text canary: a training utterance can free-run
+                # fine while the model still fails to generalize; pad to
+                # the batch's text bucket so the jitted program is shared
+                from nspeech_tpu.text import text_to_sequence
+                from nspeech_tpu.text.symbols import PAD_ID
+
+                seq = text_to_sequence(
+                    args.freerun_text,
+                    [c.strip() for c in cfg.cleaners.split(",")])
+                fr_ids = np.full((1, b.inputs.shape[1]), PAD_ID, np.int32)
+                fr_ids[0, : len(seq)] = seq[: b.inputs.shape[1]]
+                fr_len = np.asarray([min(len(seq), b.inputs.shape[1])],
+                                    np.int32)
+                fr_in, fr_l = fr_ids, fr_len
+                t_in = int(fr_len[0])
+            else:
+                fr_in = b.inputs[i:i + 1]
+                fr_l = b.input_lengths[i:i + 1]
             fr_align, fr_steps, fr_wav = freerun_fn(
-                state.params, state.bn_state, b.inputs[i:i + 1],
-                b.input_lengths[i:i + 1], b.speaker_ids[i:i + 1])
+                state.params, state.bn_state, fr_in, fr_l,
+                b.speaker_ids[i:i + 1])
             fr_wav = np.asarray(dsp.inv_preemphasis(fr_wav, cfg.preemphasis))
             fr_steps = int(fr_steps)
             # UNTRIMMED audio + full-frame RMS: silence must stay audible
@@ -233,6 +252,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "freerun_rms / freerun_decoder_steps metrics — "
                              "catches exposure bias (free-running to "
                              "silence) that teacher-forced previews hide")
+    parser.add_argument("--freerun-text", default="",
+                        help="With --freerun-preview: free-run THIS novel "
+                             "text instead of a training utterance (a "
+                             "generalization canary — memorized text can "
+                             "free-run fine while novel text stalls)")
     parser.add_argument("--cmudict-path", default=None,
                         help="cmudict-0.7b file for ARPAbet substitution")
     parser.add_argument("--seed", type=int, default=0)
