@@ -111,7 +111,8 @@ def test_freerun_preview_artifacts(corpus, tmp_path):
         "--ljspeech", corpus, "--model", "taco1",
         "--log-dir", str(tmp_path), "--max-steps", "2",
         "--checkpoint-interval", "2", "--summary-interval", "2",
-        "--freerun-preview", "--seed", "1"])
+        "--freerun-preview", "--freerun-text", "a novel canary line",
+        "--seed", "1"])
     log_dir = str(tmp_path / "run")
     os.makedirs(log_dir, exist_ok=True)
     train_cli.train(log_dir, args, micro_cfg())
