@@ -16,6 +16,7 @@ slow and misaligned. Windows are batched to fixed shapes (jit-stable).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterator, List, NamedTuple, Optional
 
 import numpy as np
@@ -65,6 +66,7 @@ class WaveNetFeeder:
         shard_count: int = 1,
         seed: int = 0,
         frame_lc: bool = True,
+        gta_dir: Optional[str] = None,
     ):
         self._cfg = cfg
         self._cache_dir = cache_dir
@@ -80,11 +82,58 @@ class WaveNetFeeder:
         # rows needed so the last window sample (phase+window-1 samples
         # past row 0's anchor) still has an i1 row
         self.frames_per_window = (self.window + self._hop - 2) // self._hop + 2
+        # GTA mode: condition on Tacotron-PREDICTED mels (data/gta.py) so
+        # the vocoder trains on the features it sees in serving. Stored row
+        # i anchors at sample i*hop of the TRIMMED wav, so the left pad is
+        # rounded up to whole hops and covered with silence-mel rows — the
+        # anchor grid then matches the normal computed-mel layout exactly.
+        self.gta_dir = gta_dir
+        self._silence_row: Optional[np.ndarray] = None
+        if gta_dir is not None:
+            from nspeech_tpu.data.gta import check_fingerprint
+
+            check_fingerprint(gta_dir, cfg)
+            self._gta_pad = -(-receptive_field // self._hop) * self._hop
 
         items = load_items(input_paths) if isinstance(input_paths, dict) else list(input_paths)
         self.speaker2id = build_speaker_map(items)
         self.num_speakers = len(self.speaker2id)
         self._items = items[shard_index::shard_count]
+
+    def _gta_mel(self, wav_path: str, trimmed_len: int) -> np.ndarray:
+        """Load the exported teacher-forced mel for one utterance and
+        prepend silence rows covering the (hop-rounded) receptive-field
+        pad, so row anchors match the padded waveform's sample grid."""
+        import jax
+
+        from nspeech_tpu.data.gta import gta_path
+
+        path = gta_path(self.gta_dir, wav_path)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                "No GTA mel for %r in %r — re-run export_gta.py over this "
+                "corpus" % (wav_path, self.gta_dir))
+        mel = np.load(path)
+        expected = 1 + trimmed_len // self._hop
+        if mel.shape[0] != expected:
+            raise ValueError(
+                "GTA mel for %r has %d frames, expected %d — the wav or "
+                "trim settings changed since export" %
+                (wav_path, mel.shape[0], expected))
+        if self._silence_row is None:
+            from nspeech_tpu.data.features import _host_cpu_device
+
+            # Exact mel row of digital silence (the normalized dB floor):
+            # what the computed-mel path yields over the zero left-pad.
+            n_fft = stft_params(self._cfg)[0]
+            with jax.default_device(_host_cpu_device()):
+                _, zmel = dsp.spectrograms(
+                    np.zeros(max(4 * self._hop, 2 * n_fft), np.float32),
+                    self._cfg)
+            self._silence_row = np.asarray(zmel)[:1]
+        pad_rows = self._gta_pad // self._hop
+        return np.concatenate(
+            [np.repeat(self._silence_row, pad_rows, axis=0), mel], axis=0)
 
     def _utterance_windows(self, item: Item):
         """Yield (audio_window, speaker_id, mel_window) for one utterance."""
@@ -100,15 +149,19 @@ class WaveNetFeeder:
             if wav.size == 0:
                 return  # silence-only utterance: skip (the reference warned
                 # and then processed it anyway, WavenetDataFeeder.py:116-119)
-        wav = np.pad(wav, (self.receptive_field, 0))
-        # Per-utterance mel at per-sample resolution (computed once) —
-        # input-pipeline work, pinned to the host CPU backend (see
-        # data/features.py note).
         from nspeech_tpu.data.features import _host_cpu_device
 
-        with jax.default_device(_host_cpu_device()):
-            _, mel = dsp.spectrograms(wav, self._cfg)
-        mel = np.asarray(mel)
+        if self.gta_dir is not None:
+            mel = self._gta_mel(item[0], len(wav))
+            wav = np.pad(wav, (self._gta_pad, 0))
+        else:
+            wav = np.pad(wav, (self.receptive_field, 0))
+            # Per-utterance mel at per-sample resolution (computed once) —
+            # input-pipeline work, pinned to the host CPU backend (see
+            # data/features.py note).
+            with jax.default_device(_host_cpu_device()):
+                _, mel = dsp.spectrograms(wav, self._cfg)
+            mel = np.asarray(mel)
         if not self.frame_lc:
             mel_samples = upsample_frames(mel, self._hop, len(wav))
         offset = 0

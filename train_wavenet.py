@@ -36,11 +36,19 @@ def train_wavenet(log_dir: str, args, cfg) -> None:
     net = create_model(args.model, cfg)
     log("Receptive field: %d samples" % net.receptive_field)
 
+    if args.gta_dir:
+        if cfg.lc_channels <= 0:
+            raise SystemExit(
+                "--gta-dir is local conditioning data; it requires "
+                "lc_channels > 0 (e.g. --hparams lc_channels=%d)"
+                % cfg.num_mels)
+        log("GTA mode: local conditioning from predicted mels in %s"
+            % args.gta_dir)
     feeder = WaveNetFeeder(
         prepare_input_paths(args), net.receptive_field, cfg,
         cache_dir=args.cache_dir,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        seed=args.seed)
+        seed=args.seed, gta_dir=args.gta_dir or None)
     cfg.num_speakers = feeder.num_speakers
     cfg.gc_category_cardinality = feeder.num_speakers
     l2 = cfg.l2_regularization_strength or None
@@ -98,6 +106,11 @@ def main() -> None:
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--slack-url")
     parser.add_argument("--cache-dir", default=None)
+    parser.add_argument("--gta-dir", default="",
+                        help="Train on ground-truth-aligned (teacher-forced) "
+                        "mels exported by export_gta.py instead of computed "
+                        "mels — closes the vocoder's train/serve feature "
+                        "mismatch")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--matmul-precision", default="bfloat16",
