@@ -16,7 +16,16 @@ from scipy.signal import resample_poly
 
 
 def load_wav(path: str, sample_rate: int) -> np.ndarray:
-    """Load a wav as mono float32 in [-1, 1] at ``sample_rate``."""
+    """Load a wav/flac as mono float32 in [-1, 1] at ``sample_rate``.
+
+    Dispatch is on magic bytes: FLAC streams (LibriSpeech corpora) go
+    through the pure-Python decoder in nspeech_tpu.dsp.flacio."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from nspeech_tpu.dsp.flacio import load_flac
+
+        return load_flac(path, sample_rate)
     sr, data = wavfile.read(path)
     data = np.asarray(data)
     if data.ndim > 1:

@@ -16,6 +16,25 @@ AVAILABLE = False
 _ext = None
 
 
+def _ext_path() -> str:
+    import sysconfig
+
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    return os.path.join(_HERE, "_loader" + suffix)
+
+
+def _drop_stale() -> None:
+    """Remove a built extension older than its source, so edits to
+    _loader.cpp rebuild transparently on next import."""
+    so = _ext_path()
+    src = os.path.join(_HERE, "_loader.cpp")
+    try:
+        if os.path.exists(so) and os.path.getmtime(src) > os.path.getmtime(so):
+            os.remove(so)
+    except OSError:
+        pass
+
+
 def _try_import() -> bool:
     global _ext, AVAILABLE
     try:
@@ -43,8 +62,7 @@ def build(verbose: bool = False) -> bool:
         import numpy as np
 
         src = os.path.join(_HERE, "_loader.cpp")
-        suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-        out = os.path.join(_HERE, "_loader" + suffix)
+        out = _ext_path()
         include_py = sysconfig.get_paths()["include"]
         include_np = np.get_include()
         cmd = [
@@ -62,11 +80,16 @@ def build(verbose: bool = False) -> bool:
         return False
 
 
+_drop_stale()
 _try_import() or build()
 
 
 def load_wav(path: str, sample_rate: int):
-    """Mono float32 waveform at sample_rate; native when available."""
+    """Mono float32 waveform at sample_rate; native when available.
+
+    Decodes WAV (PCM 8/16/24/32 + float32) and FLAC (LibriSpeech-style
+    corpora) — dispatch is on the file's magic bytes, not its extension.
+    """
     if AVAILABLE:
         wav, _sr = _ext.load_wav(path, sample_rate)
         return wav

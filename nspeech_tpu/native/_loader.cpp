@@ -120,6 +120,390 @@ WavData decode_wav(const uint8_t* data, size_t size) {
 }
 
 // ---------------------------------------------------------------------------
+// FLAC decoding (RFC 9639). LibriSpeech-style corpora ship .flac; the
+// reference decoded them through librosa/audioread (SURVEY.md §2.5) — this
+// environment has no flac library at all, so the decoder is implemented
+// from the format spec: STREAMINFO, frame headers (sync/CRC-8), subframe
+// types CONSTANT/VERBATIM/FIXED(0-4)/LPC(1-32), rice/rice2 partitioned
+// residuals with escapes, wasted bits, stereo decorrelation
+// (left/right/mid-side), frame CRC-16. Validated against an independently
+// written pure-Python encoder AND decoder (tests/make_flac.py,
+// nspeech_tpu/dsp/flacio.py).
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t pos = 0;  // byte position
+  int bit = 0;     // bits consumed of data[pos] (0..7), MSB first
+  bool ok = true;
+
+  BitReader(const uint8_t* d, size_t s) : data(d), size(s) {}
+
+  uint64_t read_bits(int n) {  // n <= 57, MSB-first
+    uint64_t v = 0;
+    while (n > 0) {
+      if (pos >= size) {
+        ok = false;
+        return 0;
+      }
+      const int avail = 8 - bit;
+      const int take = n < avail ? n : avail;
+      const uint32_t chunk =
+          (data[pos] >> (avail - take)) & ((1u << take) - 1u);
+      v = (v << take) | chunk;
+      bit += take;
+      n -= take;
+      if (bit == 8) {
+        bit = 0;
+        ++pos;
+      }
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n) {  // two's complement
+    if (n == 0) return 0;
+    const uint64_t v = read_bits(n);
+    if (v & (1ULL << (n - 1))) return (int64_t)v - ((int64_t)1 << n);
+    return (int64_t)v;
+  }
+
+  uint32_t read_unary() {  // count of 0 bits before the terminating 1
+    uint32_t q = 0;
+    for (;;) {
+      if (pos >= size) {
+        ok = false;
+        return 0;
+      }
+      const uint32_t b = (data[pos] >> (7 - bit)) & 1u;
+      ++bit;
+      if (bit == 8) {
+        bit = 0;
+        ++pos;
+      }
+      if (b) return q;
+      ++q;
+    }
+  }
+
+  void align() {
+    if (bit) {
+      bit = 0;
+      ++pos;
+    }
+  }
+};
+
+uint8_t crc8(const uint8_t* data, size_t n) {  // poly 0x07, init 0
+  uint8_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= data[i];
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+  }
+  return crc;
+}
+
+uint16_t crc16_flac(const uint8_t* data, size_t n) {  // poly 0x8005, init 0
+  uint16_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= (uint16_t)(data[i] << 8);
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                           : (uint16_t)(crc << 1);
+  }
+  return crc;
+}
+
+// UTF-8-style coded number (frame/sample index, up to 36 bits)
+uint64_t read_coded_number(BitReader& br) {
+  const uint32_t b0 = (uint32_t)br.read_bits(8);
+  int n_extra;
+  uint64_t v;
+  if ((b0 & 0x80) == 0) return b0;
+  if ((b0 & 0xE0) == 0xC0) { v = b0 & 0x1F; n_extra = 1; }
+  else if ((b0 & 0xF0) == 0xE0) { v = b0 & 0x0F; n_extra = 2; }
+  else if ((b0 & 0xF8) == 0xF0) { v = b0 & 0x07; n_extra = 3; }
+  else if ((b0 & 0xFC) == 0xF8) { v = b0 & 0x03; n_extra = 4; }
+  else if ((b0 & 0xFE) == 0xFC) { v = b0 & 0x01; n_extra = 5; }
+  else if (b0 == 0xFE) { v = 0; n_extra = 6; }
+  else { br.ok = false; return 0; }
+  for (int i = 0; i < n_extra; ++i) {
+    const uint32_t b = (uint32_t)br.read_bits(8);
+    if ((b & 0xC0) != 0x80) {
+      br.ok = false;
+      return 0;
+    }
+    v = (v << 6) | (b & 0x3F);
+  }
+  return v;
+}
+
+// Partitioned rice residual into out[order..blocksize)
+bool decode_residual(BitReader& br, int order, int blocksize, int64_t* out) {
+  const int method = (int)br.read_bits(2);
+  if (method > 1) return false;
+  const int po = (int)br.read_bits(4);
+  const int parts = 1 << po;
+  if (blocksize % parts != 0) return false;
+  const int per_part = blocksize >> po;
+  const int param_bits = method == 0 ? 4 : 5;
+  const uint32_t escape = method == 0 ? 15 : 31;
+  int idx = order;
+  for (int p = 0; p < parts; ++p) {
+    const int n = per_part - (p == 0 ? order : 0);
+    if (n < 0) return false;
+    const uint32_t param = (uint32_t)br.read_bits(param_bits);
+    if (param == escape) {
+      const int rbits = (int)br.read_bits(5);
+      for (int i = 0; i < n; ++i) out[idx++] = br.read_signed(rbits);
+    } else {
+      for (int i = 0; i < n; ++i) {
+        const uint64_t q = br.read_unary();
+        const uint64_t u = (q << param) | br.read_bits((int)param);
+        out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (!br.ok) return false;
+  }
+  return true;
+}
+
+bool decode_subframe(BitReader& br, int bps, int blocksize,
+                     std::vector<int64_t>& out) {
+  if (br.read_bits(1) != 0) return false;  // padding bit
+  const int type = (int)br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bits(1)) wasted = (int)br.read_unary() + 1;
+  bps -= wasted;
+  if (bps <= 0 || bps > 33) return false;
+  out.assign((size_t)blocksize, 0);
+
+  if (type == 0) {  // CONSTANT
+    const int64_t v = br.read_signed(bps);
+    for (int i = 0; i < blocksize; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i) out[i] = br.read_signed(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order = type & 7
+    const int order = type & 7;
+    if (order > blocksize) return false;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
+    if (!decode_residual(br, order, blocksize, out.data())) return false;
+    static const int coef[5][4] = {{0, 0, 0, 0},
+                                   {1, 0, 0, 0},
+                                   {2, -1, 0, 0},
+                                   {3, -3, 1, 0},
+                                   {4, -6, 4, -1}};
+    for (int i = order; i < blocksize; ++i) {
+      int64_t acc = out[i];
+      for (int j = 0; j < order; ++j) acc += coef[order][j] * out[i - 1 - j];
+      out[i] = acc;
+    }
+  } else if (type >= 32) {  // LPC, order = (type & 31) + 1
+    const int order = (type & 31) + 1;
+    if (order > blocksize) return false;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
+    const int precision = (int)br.read_bits(4) + 1;
+    if (precision == 16) return false;  // 0b1111 is invalid
+    const int shift = (int)br.read_signed(5);
+    if (shift < 0) return false;
+    int64_t coef[32];
+    for (int i = 0; i < order; ++i) coef[i] = br.read_signed(precision);
+    if (!decode_residual(br, order, blocksize, out.data())) return false;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += coef[j] * out[i - 1 - j];
+      out[i] += acc >> shift;  // arithmetic shift: floor
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted)
+    for (int i = 0; i < blocksize; ++i) out[i] <<= wasted;
+  return br.ok;
+}
+
+WavData decode_flac(const uint8_t* data, size_t size) {
+  WavData out;
+  if (size < 42 || std::memcmp(data, "fLaC", 4) != 0) {
+    out.error = "not a FLAC file";
+    return out;
+  }
+  // --- metadata blocks ---
+  size_t pos = 4;
+  int channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool have_streaminfo = false, last = false;
+  while (!last && pos + 4 <= size) {
+    const uint8_t h = data[pos];
+    last = (h & 0x80) != 0;
+    const int type = h & 0x7F;
+    const uint32_t len = ((uint32_t)data[pos + 1] << 16) |
+                         ((uint32_t)data[pos + 2] << 8) | data[pos + 3];
+    pos += 4;
+    if (pos + len > size) {
+      out.error = "truncated metadata block";
+      return out;
+    }
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      const uint8_t* s = data + pos;
+      out.sample_rate =
+          (int)(((uint32_t)s[10] << 12) | ((uint32_t)s[11] << 4) | (s[12] >> 4));
+      channels = ((s[12] >> 1) & 0x7) + 1;
+      bps = (int)(((s[12] & 1) << 4) | (s[13] >> 4)) + 1;
+      total_samples = ((uint64_t)(s[13] & 0x0F) << 32) |
+                      ((uint64_t)s[14] << 24) | ((uint64_t)s[15] << 16) |
+                      ((uint64_t)s[16] << 8) | s[17];
+      have_streaminfo = true;
+    }
+    pos += len;
+  }
+  if (!have_streaminfo || channels < 1 || channels > 8 ||
+      out.sample_rate <= 0) {
+    out.error = "missing/bad STREAMINFO";
+    return out;
+  }
+  if (bps > 26) {  // side channel must fit an int64 pipeline comfortably
+    out.error = "unsupported bits-per-sample";
+    return out;
+  }
+  if (total_samples) out.samples.reserve((size_t)total_samples);
+  const double scale = 1.0 / (double)(1LL << (bps - 1)) / channels;
+
+  // --- frames ---
+  BitReader br(data, size);
+  br.pos = pos;
+  std::vector<std::vector<int64_t>> ch((size_t)channels);
+  while ((total_samples == 0 || out.samples.size() < total_samples) &&
+         br.pos + 2 <= size) {
+    const size_t frame_start = br.pos;
+    if (br.read_bits(14) != 0x3FFE) {
+      // allow trailing zero padding after the last frame
+      bool all_zero = true;
+      for (size_t i = frame_start; i < size && all_zero; ++i)
+        all_zero = data[i] == 0;
+      if (all_zero && total_samples == 0) break;
+      out.error = "lost frame sync";
+      return out;
+    }
+    br.read_bits(1);  // reserved
+    br.read_bits(1);  // blocking strategy
+    const int bs_code = (int)br.read_bits(4);
+    const int sr_code = (int)br.read_bits(4);
+    const int ch_code = (int)br.read_bits(4);
+    const int ss_code = (int)br.read_bits(3);
+    br.read_bits(1);  // reserved
+    read_coded_number(br);
+    int blocksize;
+    switch (bs_code) {
+      case 0: out.error = "reserved block size"; return out;
+      case 1: blocksize = 192; break;
+      case 6: blocksize = (int)br.read_bits(8) + 1; break;
+      case 7: blocksize = (int)br.read_bits(16) + 1; break;
+      default:
+        blocksize = (bs_code < 6) ? 576 << (bs_code - 2)
+                                  : 256 << (bs_code - 8);
+    }
+    static const int kRates[12] = {0,     88200, 176400, 192000, 8000, 16000,
+                                   22050, 24000, 32000,  44100,  48000, 96000};
+    int frame_sr = out.sample_rate;
+    if (sr_code >= 1 && sr_code <= 11) frame_sr = kRates[sr_code];
+    else if (sr_code == 12) frame_sr = (int)br.read_bits(8) * 1000;
+    else if (sr_code == 13) frame_sr = (int)br.read_bits(16);
+    else if (sr_code == 14) frame_sr = (int)br.read_bits(16) * 10;
+    else if (sr_code == 15) { out.error = "invalid sample-rate code"; return out; }
+    if (frame_sr != out.sample_rate) {
+      out.error = "frame/stream sample-rate mismatch";
+      return out;
+    }
+    static const int kSizes[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+    int frame_bps = bps;
+    if (ss_code != 0) {
+      frame_bps = kSizes[ss_code];
+      if (frame_bps != bps) {
+        out.error = "frame/stream sample-size mismatch";
+        return out;
+      }
+    }
+    int frame_channels;
+    int mode = 0;  // 0 independent, 1 left/side, 2 right/side, 3 mid/side
+    if (ch_code <= 7) {
+      frame_channels = ch_code + 1;
+    } else if (ch_code <= 10) {
+      frame_channels = 2;
+      mode = ch_code - 7;
+    } else {
+      out.error = "reserved channel assignment";
+      return out;
+    }
+    if (frame_channels != channels) {
+      out.error = "frame/stream channel mismatch";
+      return out;
+    }
+    const uint8_t expect_crc8 = (uint8_t)br.read_bits(8);
+    if (!br.ok) {
+      out.error = "truncated frame header";
+      return out;
+    }
+    if (crc8(data + frame_start, br.pos - 1 - frame_start) != expect_crc8) {
+      out.error = "frame header CRC-8 mismatch";
+      return out;
+    }
+
+    for (int c = 0; c < channels; ++c) {
+      int sub_bps = bps;
+      if ((mode == 1 && c == 1) || (mode == 2 && c == 0) ||
+          (mode == 3 && c == 1))
+        sub_bps += 1;  // the side channel carries one extra bit
+      if (!decode_subframe(br, sub_bps, blocksize, ch[(size_t)c])) {
+        out.error = br.ok ? "bad subframe" : "truncated subframe";
+        return out;
+      }
+    }
+    br.align();
+    const size_t crc_end = br.pos;
+    const uint16_t expect_crc16 = (uint16_t)br.read_bits(16);
+    if (!br.ok) {
+      out.error = "truncated frame footer";
+      return out;
+    }
+    if (crc16_flac(data + frame_start, crc_end - frame_start) != expect_crc16) {
+      out.error = "frame CRC-16 mismatch";
+      return out;
+    }
+
+    // stereo decorrelation
+    if (mode == 1) {  // left/side: right = left - side
+      for (int i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (mode == 2) {  // right/side: stored (side, right)
+      for (int i = 0; i < blocksize; ++i) ch[0][i] = ch[1][i] + ch[0][i];
+    } else if (mode == 3) {  // mid/side
+      for (int i = 0; i < blocksize; ++i) {
+        const int64_t side = ch[1][i];
+        const int64_t m2 = (ch[0][i] << 1) | (side & 1);
+        ch[0][i] = (m2 + side) >> 1;
+        ch[1][i] = (m2 - side) >> 1;
+      }
+    }
+    int take = blocksize;
+    if (total_samples &&
+        out.samples.size() + (size_t)blocksize > total_samples)
+      take = (int)(total_samples - out.samples.size());
+    for (int i = 0; i < take; ++i) {
+      int64_t acc = 0;
+      for (int c = 0; c < channels; ++c) acc += ch[(size_t)c][i];
+      out.samples.push_back((float)(acc * scale));
+    }
+  }
+  if (total_samples && out.samples.size() < total_samples) {
+    out.error = "stream ended before total_samples";
+    return out;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
 // Polyphase resampling (scipy.signal.resample_poly-compatible filter design:
 // Kaiser window beta=5.0, 10*max(up,down) taps each side of center)
 // ---------------------------------------------------------------------------
@@ -286,7 +670,11 @@ PyObject* py_load_wav(PyObject*, PyObject* args) {
     std::vector<uint8_t> buf((size_t)size);
     size_t got = fread(buf.data(), 1, (size_t)size, f);
     fclose(f);
-    wav = decode_wav(buf.data(), got);
+    if (got >= 4 && std::memcmp(buf.data(), "fLaC", 4) == 0) {
+      wav = decode_flac(buf.data(), got);
+    } else {
+      wav = decode_wav(buf.data(), got);
+    }
     if (wav.error.empty() && target_sr > 0 && wav.sample_rate != target_sr) {
       // reduce up/down by gcd
       int a = target_sr, b = wav.sample_rate;

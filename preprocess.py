@@ -28,7 +28,13 @@ def main() -> None:
     parser.add_argument("--cache-dir", required=True)
     parser.add_argument("--num-workers", type=int, default=1)
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--platform", default=None,
+                        help="jax platform override (featurization is "
+                        "host work — 'cpu' runs with no accelerator)")
     args = parser.parse_args()
+    from nspeech_tpu.utils.platform import set_platform
+
+    set_platform(args.platform)
 
     cfg = config.load_config(args.model)
     cfg.parse(args.hparams)
