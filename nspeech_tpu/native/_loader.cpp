@@ -368,7 +368,13 @@ WavData decode_flac(const uint8_t* data, size_t size) {
     out.error = "unsupported bits-per-sample";
     return out;
   }
-  if (total_samples) out.samples.reserve((size_t)total_samples);
+  // Bounded reserve: total_samples is a 36-bit field from the file — a
+  // corrupt/hostile value must not drive a huge allocation. The vector
+  // still grows to the true decoded size.
+  if (total_samples) {
+    const uint64_t cap = size * 4;  // decoded floats rarely exceed 4x input
+    out.samples.reserve((size_t)(total_samples < cap ? total_samples : cap));
+  }
   const double scale = 1.0 / (double)(1LL << (bps - 1)) / channels;
 
   // --- frames ---
@@ -485,6 +491,10 @@ WavData decode_flac(const uint8_t* data, size_t size) {
         ch[0][i] = (m2 + side) >> 1;
         ch[1][i] = (m2 - side) >> 1;
       }
+    }
+    if (out.samples.size() > (1u << 28)) {  // ~3.7 h at 20 kHz: a corrupt
+      out.error = "stream too long";        // or hostile stream, not audio
+      return out;
     }
     int take = blocksize;
     if (total_samples &&

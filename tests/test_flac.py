@@ -135,6 +135,33 @@ def test_corrupt_and_truncated_rejected(tmp_path):
         native.load_wav(path, 0)
 
 
+def test_fuzz_no_crash(tmp_path):
+    """Bounded fuzz: random truncations and byte flips of a valid stream
+    must either decode or raise a clean error — never crash the process
+    (the C++ decoder parses untrusted bytes)."""
+    rng = np.random.default_rng(7)
+    base = bytearray(encode_flac(_signal(1500), 16000, block_size=256))
+    path = str(tmp_path / "fuzz.flac")
+    for trial in range(150):
+        data = bytearray(base)
+        if trial % 3 == 0:  # truncate
+            data = data[: rng.integers(4, len(data))]
+        flips = rng.integers(1, 6)
+        for _ in range(flips):
+            data[rng.integers(0, len(data))] ^= 1 << rng.integers(0, 8)
+        with open(path, "wb") as f:
+            f.write(bytes(data))
+        try:
+            wav = native.load_wav(path, 0)
+            assert np.isfinite(wav).all()
+        except OSError:
+            pass
+        try:
+            decode_flac(bytes(data))
+        except FlacError:
+            pass
+
+
 def test_librispeech_flac_corpus(tmp_path):
     """End-to-end: a LibriSpeech-layout corpus of .flac files loads
     through the corpus registry, the featurizer, and the feeder."""
