@@ -265,9 +265,32 @@ def make_app(synthesizer, cfg, streamer=None):
     return app
 
 
-def main() -> None:
+def serve_forever(app, port: int) -> None:
+    """Threaded WSGI server: concurrent requests overlap (a long stream
+    must not block /synthesize), which is also what lets the dynamic
+    batcher see more than one request per window."""
+    from socketserver import ThreadingMixIn
     from wsgiref import simple_server
 
+    class _Server(ThreadingMixIn, simple_server.WSGIServer):
+        daemon_threads = True
+
+    simple_server.make_server("0.0.0.0", port, app,
+                              server_class=_Server).serve_forever()
+
+
+def _maybe_batch(synthesizer, args):
+    if args.dynamic_batch > 0:
+        from nspeech_tpu.serving import DynamicBatcher
+
+        print("Dynamic batching: up to %d requests per %.0f ms window"
+              % (args.dynamic_batch, args.batch_window_ms))
+        return DynamicBatcher(synthesizer, max_batch=args.dynamic_batch,
+                              window_ms=args.batch_window_ms)
+    return synthesizer
+
+
+def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", default=None,
                         help="Checkpoint directory (log_dir/<run>/ckpt)")
@@ -287,6 +310,12 @@ def main() -> None:
     parser.add_argument("--stream-chunk-frames", type=int, default=40,
                         help="Mel frames per /synthesize_stream chunk "
                              "(0.5 s at the default 12.5 ms frame shift)")
+    parser.add_argument("--dynamic-batch", type=int, default=0, metavar="N",
+                        help="Batch concurrent /synthesize requests (up to "
+                             "N) into one device program; 0 = off")
+    parser.add_argument("--batch-window-ms", type=float, default=10.0,
+                        help="How long the dynamic batcher waits for "
+                             "companions after the first request")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
@@ -304,9 +333,9 @@ def main() -> None:
 
         synthesizer = ExportedSynthesizer(args.artifact)
         cfg = SimpleNamespace(sample_rate=synthesizer.meta["sample_rate"])
-        app = make_app(synthesizer, cfg)
+        app = make_app(_maybe_batch(synthesizer, args), cfg)
         print("Serving AOT artifact %s on port %d" % (args.artifact, args.port))
-        simple_server.make_server("0.0.0.0", args.port, app).serve_forever()
+        serve_forever(app, args.port)
         return
     overrides = args.hparams
     if args.num_speakers is not None:
@@ -332,9 +361,9 @@ def main() -> None:
             streamer = StreamingTTS(synthesizer, vocoder,
                                     chunk_frames=args.stream_chunk_frames)
         synthesizer = TextToSpeech(synthesizer, vocoder)
-    app = make_app(synthesizer, cfg, streamer=streamer)
+    app = make_app(_maybe_batch(synthesizer, args), cfg, streamer=streamer)
     print("Serving on port %d" % args.port)
-    simple_server.make_server("0.0.0.0", args.port, app).serve_forever()
+    serve_forever(app, args.port)
 
 
 if __name__ == "__main__":

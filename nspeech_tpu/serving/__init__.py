@@ -10,3 +10,4 @@ from nspeech_tpu.serving.export import (  # noqa: F401
     export_vocoder,
 )
 from nspeech_tpu.serving.streaming import StreamingTTS  # noqa: F401
+from nspeech_tpu.serving.batcher import DynamicBatcher  # noqa: F401

@@ -1,0 +1,118 @@
+"""Dynamic request batching for serving.
+
+TPU serving economics: one text per forward under-utilizes the chip, and
+the synthesizer already compiles power-of-two batch buckets
+(serving/synthesizer.py), so requests that arrive together should share
+one padded device program. ``DynamicBatcher`` wraps anything with
+``synthesize_batch(texts, speaker_ids) -> (wavs, mels, lins)`` (a
+Synthesizer, TextToSpeech pipeline, or ExportedSynthesizer) and exposes
+the single-request ``synthesize`` contract: concurrent callers enqueue,
+one worker drains up to ``max_batch`` requests within ``window_ms`` of
+the first, runs ONE batched forward, and fans results back out.
+
+A single worker is deliberate: the device serializes programs anyway, so
+extra in-flight batches would only add queueing without throughput. The
+reference has no serving concurrency story at all (one tf.Session, one
+request at a time — reference: demo_server.py:67-79).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional
+
+
+class DynamicBatcher:
+    def __init__(self, synthesizer, max_batch: int = 8,
+                 window_ms: float = 10.0):
+        if not hasattr(synthesizer, "synthesize_batch"):
+            raise ValueError("synthesizer has no synthesize_batch")
+        self._synth = synthesizer
+        self.max_batch = max(1, int(max_batch))
+        self.window = max(0.0, float(window_ms)) / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="dynamic-batcher")
+        self._worker.start()
+
+    # --- single-request surface (what make_app's routes call) -----------
+
+    def synthesize(self, text: str, speaker_id: int = -1,
+                   timeout: Optional[float] = None):
+        """Enqueue and wait; returns (wav, mel, lin) like Synthesizer."""
+        fut: Future = Future()
+        self._q.put((text, speaker_id, fut))
+        return fut.result(timeout=timeout)
+
+    def synthesize_batch(self, texts, speaker_ids=None):
+        # A caller-assembled batch is already a batch: pass it through
+        # (and keep it out of the dynamic window's accounting).
+        return self._synth.synthesize_batch(texts, speaker_ids)
+
+    @property
+    def cfg(self):
+        return getattr(self._synth, "cfg", None)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._worker.join(timeout=5.0)
+
+    # --- worker ----------------------------------------------------------
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            head = self._q.get()
+            if head is None:
+                return
+            batch = [head]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    item = self._q.get(timeout=max(0.0, remaining))
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._dispatch(batch)
+                    return
+                batch.append(item)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch) -> None:
+        # Default (-1) and explicit speaker conditioning cannot share a
+        # batch (pipeline.synthesize_batch rejects the mix by design) —
+        # independent requests may disagree, so partition first.
+        default = [b for b in batch if b[1] is None or b[1] < 0]
+        explicit = [b for b in batch if not (b[1] is None or b[1] < 0)]
+        for group in (default, explicit):
+            if group:
+                self._dispatch_group(group)
+
+    def _dispatch_group(self, batch) -> None:
+        texts = [t for t, _s, _f in batch]
+        speakers = [s for _t, s, _f in batch]
+        self.stats["requests"] += len(batch)
+        self.stats["batches"] += 1
+        self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                           len(batch))
+        try:
+            wavs, mels, lins = self._synth.synthesize_batch(texts, speakers)
+        except Exception as e:
+            if len(batch) > 1:
+                # Don't poison window-mates: one bad request (e.g. a
+                # ClientError) re-runs each item alone so only it fails.
+                for item in batch:
+                    self._dispatch_group([item])
+                return
+            for _t, _s, fut in batch:
+                if not fut.cancelled():
+                    fut.set_exception(e)
+            return
+        for i, (_t, _s, fut) in enumerate(batch):
+            if not fut.cancelled():
+                fut.set_result((wavs[i], mels[i], lins[i]))
