@@ -11,3 +11,4 @@ from nspeech_tpu.serving.export import (  # noqa: F401
 )
 from nspeech_tpu.serving.streaming import StreamingTTS  # noqa: F401
 from nspeech_tpu.serving.batcher import DynamicBatcher  # noqa: F401
+from nspeech_tpu.serving.longform import split_text, synthesize_long  # noqa: F401

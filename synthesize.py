@@ -29,6 +29,15 @@ def main() -> None:
     parser.add_argument("--num-speakers", type=int, default=None)
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--out", default="synth.wav")
+    parser.add_argument("--long", action="store_true",
+                        help="Long-form mode: split the text at sentence/"
+                        "clause boundaries, synthesize the pieces as one "
+                        "batch, and join with pauses — no decoder frame "
+                        "cap on the total length")
+    parser.add_argument("--pause-ms", type=float, default=150.0,
+                        help="Silence between long-form pieces")
+    parser.add_argument("--max-chars", type=int, default=200,
+                        help="Max characters per long-form piece")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
@@ -53,8 +62,16 @@ def main() -> None:
             args.vocoder_hparams)
 
     tts = TextToSpeech(synth, vocoder)
-    wav, mel, lin = tts.synthesize(args.text, args.speaker,
-                                   temperature=args.temperature)
+    if args.long:
+        from nspeech_tpu.serving.longform import synthesize_long
+
+        wav = synthesize_long(tts, args.text, args.speaker,
+                              sample_rate=cfg.sample_rate,
+                              pause_ms=args.pause_ms,
+                              max_chars=args.max_chars)
+    else:
+        wav, _mel, _lin = tts.synthesize(args.text, args.speaker,
+                                         temperature=args.temperature)
     dsp.save_wav(wav, args.out, cfg.sample_rate)
     print("Wrote %s (%.2fs of audio, vocoder=%s)" % (
         args.out, len(wav) / cfg.sample_rate,
