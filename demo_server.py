@@ -122,11 +122,27 @@ def make_app(synthesizer, cfg, streamer=None):
     """``synthesizer`` is anything with .synthesize(text, speaker_id) ->
     (wav, mel, lin) — a Synthesizer or a TextToSpeech pipeline."""
 
+    import time as _time
+
+    counters = {"started": _time.time(), "routes": {}}
+
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
+        counters["routes"][path] = counters["routes"].get(path, 0) + 1
         if path == "/":
             start_response("200 OK", [("Content-Type", "text/html")])
             return [HTML_BODY]
+        if path == "/stats":
+            import json as _json
+
+            payload = {"uptime_sec": round(_time.time() - counters["started"], 1),
+                       "routes": counters["routes"]}
+            if hasattr(synthesizer, "stats"):  # DynamicBatcher
+                payload["dynamic_batching"] = dict(synthesizer.stats)
+            body = _json.dumps(payload).encode("utf-8")
+            start_response("200 OK", [("Content-Type", "application/json"),
+                                      ("Content-Length", str(len(body)))])
+            return [body]
         if path == "/synthesize_stream":
             if streamer is None:
                 start_response("404 Not Found",

@@ -82,6 +82,11 @@ def main() -> None:
                         help="Speaker count the checkpoint was trained with")
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--skip-harvard", action="store_true")
+    parser.add_argument("--vocoder-checkpoint", default=None,
+                        help="WaveNet vocoder checkpoint dir: eval through "
+                        "the full pipeline instead of Griffin-Lim")
+    parser.add_argument("--vocoder-model", default=None)
+    parser.add_argument("--vocoder-hparams", default="")
     parser.add_argument("--text-bucket", type=int, default=32,
                         help="Pad text lengths up to multiples of this; "
                         "bigger buckets = fewer recompiles across sentences "
@@ -98,6 +103,13 @@ def main() -> None:
     synth = Synthesizer.from_checkpoint(
         args.checkpoint, args.model, overrides, step=args.checkpoint_step,
         text_bucket=args.text_bucket)
+    if args.vocoder_checkpoint:
+        from nspeech_tpu.serving import TextToSpeech, WaveNetVocoder
+
+        vocoder = WaveNetVocoder.from_checkpoint(
+            args.vocoder_checkpoint, args.vocoder_model,
+            args.vocoder_hparams)
+        synth = TextToSpeech(synth, vocoder)
     run_eval(args, synth)
 
 

@@ -139,6 +139,12 @@ class TextToSpeech:
         self.synthesizer = synthesizer
         self.vocoder = vocoder
 
+    @property
+    def cfg(self):
+        """The acoustic model's config (sample_rate etc. for callers that
+        treat the pipeline as a drop-in Synthesizer)."""
+        return self.synthesizer.cfg
+
     def synthesize(self, text: str, speaker_id: int = -1,
                    temperature: float = 1.0, return_gl: bool = False):
         """Returns (wav, mel, lin), or (wav, mel, lin, wav_gl) with

@@ -123,6 +123,14 @@ def test_wsgi_route_through_batcher():
 
     body = b"".join(app({"PATH_INFO": "/synthesize",
                          "QUERY_STRING": "text=hello"}, start_response))
-    b.close()
     assert captured["status"] == "200 OK"
     assert body[:4] == b"RIFF"
+
+    import json
+
+    body = b"".join(app({"PATH_INFO": "/stats", "QUERY_STRING": ""},
+                        start_response))
+    b.close()
+    stats = json.loads(body)
+    assert stats["routes"]["/synthesize"] == 1
+    assert stats["dynamic_batching"]["requests"] == 1
