@@ -116,6 +116,65 @@ def test_gta_missing_or_stale_mel_rejected(corpus, tmp_path):
         next(feeder.batches())
 
 
+def test_export_multispeaker_uses_persisted_map(tmp_path):
+    """The exporter must map (dataset, speaker) -> id through the
+    acoustic checkpoint's PERSISTED speaker map (the training-time
+    assignment), and refuse a corpus speaker the checkpoint never saw."""
+    import importlib.util
+
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.train import (CheckpointManager, create_state,
+                                   make_optimizer, save_run_metadata)
+
+    spec = importlib.util.spec_from_file_location(
+        "mac", os.path.join(os.path.dirname(__file__), os.pardir,
+                            "scripts", "make_alignment_corpus.py"))
+    mac = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mac)
+    corpus = mac.make_corpus(str(tmp_path / "c"), n=6, seed=5,
+                             style="words", speakers=2)
+
+    cfg = config.load_config("taco1")
+    cfg.parse(
+        "batch_size=2,batch_group_size=2,max_iters=3,encoder_cbhg_banks=1,"
+        "post_cbhg_banks=1,attention_dim=16,decoder_dim=16,embedding_dim=16,"
+        "num_speakers=2")
+    cfg.encoder_prenet = [16, 16]
+    cfg.encoder_cbhg_bank_sizes = [16]
+    cfg.post_cbhg_bank_sizes = [80]
+
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(0, state)
+    mgr.wait()
+    mgr.close()
+
+    # Persist a map that covers only ONE of the corpus's two speakers.
+    from nspeech_tpu.data.corpus import load_items
+
+    items = load_items({"vctk": corpus})
+    speakers = sorted({(i[3], str(i[2])) for i in items})
+    assert len(speakers) == 2
+    save_run_metadata(ckpt_dir, "taco1", cfg,
+                      speaker_map={speakers[0]: 0})
+    with pytest.raises(ValueError, match="speaker map"):
+        export_gta(ckpt_dir, {"vctk": corpus}, str(tmp_path / "g1"),
+                   batch_size=2, text_bucket=16, frame_bucket=32,
+                   log=lambda *_: None)
+
+    # Full (order-scrambled) map: export succeeds for every utterance.
+    save_run_metadata(ckpt_dir, "taco1", cfg,
+                      speaker_map={speakers[0]: 1, speakers[1]: 0})
+    manifest = export_gta(ckpt_dir, {"vctk": corpus},
+                          str(tmp_path / "g2"), batch_size=2,
+                          text_bucket=16, frame_bucket=32,
+                          log=lambda *_: None)
+    assert manifest["count"] == 6
+
+
 @pytest.mark.smoke
 def test_export_then_train_windows(corpus, tmp_path):
     """End-to-end: checkpoint a micro taco1, export GTA mels over the
