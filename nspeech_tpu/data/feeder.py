@@ -100,6 +100,7 @@ class DataFeeder:
         bucket_frames: int = 100,
         cmudict=None,
         prefetch: int = 4,
+        holdout: int = 0,
     ):
         self._cfg = cfg
         self._cache_dir = cache_dir
@@ -115,11 +116,38 @@ class DataFeeder:
         self._prefetch = prefetch
 
         items = load_items(input_paths) if isinstance(input_paths, dict) else list(input_paths)
+        # Speaker map over the FULL corpus (holdout items keep their ids).
         self.speaker2id = build_speaker_map(items)
         self.num_speakers = len(self.speaker2id)
+        # Held-out dev set: evenly spaced over the (deterministic) item
+        # list, so it spreads across corpora/speakers, is identical on
+        # every host and across resumes, and never enters training.
+        self.holdout_items: List[Item] = []
+        if holdout:
+            if holdout >= len(items):
+                raise ValueError(
+                    "holdout=%d must be smaller than the corpus (%d items)"
+                    % (holdout, len(items)))
+            idx = set(np.linspace(0, len(items) - 1, holdout)
+                      .astype(int).tolist())
+            self.holdout_items = [items[i] for i in sorted(idx)]
+            items = [it for i, it in enumerate(items) if i not in idx]
         # Per-host shard (deterministic round-robin).
         self._items = items[shard_index::shard_count]
         self._memo: dict = {}
+
+    def holdout_batch(self) -> Batch:
+        """One padded batch of the held-out items (teacher-forcing eval
+        targets). Deterministic: CMUDict substitution is bypassed."""
+        if not self.holdout_items:
+            raise ValueError("feeder was built with holdout=0")
+        saved, self._cmudict = self._cmudict, None
+        try:
+            rng = np.random.default_rng(0)
+            examples = [self._example(it, rng) for it in self.holdout_items]
+        finally:
+            self._cmudict = saved
+        return self._make_batch(examples)
 
     # -- example level ------------------------------------------------------
 

@@ -51,6 +51,7 @@ def run_training(
     summary_interval: int = 1000,
     max_steps: Optional[int] = None,
     artifact_fn: Optional[Callable] = None,
+    eval_fn: Optional[Callable] = None,
     restore_step: Optional[int] = None,
     max_recoveries: int = 3,
     log_interval: int = 1,
@@ -120,6 +121,15 @@ def run_training(
                                               max_recoveries), slack=True)
                     continue
                 raise RuntimeError("Loss exploded")
+
+            if step % summary_interval == 0 and eval_fn is not None:
+                # Held-out evaluation (no reference counterpart: it had
+                # no dev-set signal at all) — like artifact_fn, it must
+                # not kill training.
+                try:
+                    eval_fn(state, step, writer)
+                except Exception as e:
+                    log("Holdout eval failed: %s" % e)
 
             if step % summary_interval == 0:
                 writer.scalars(step, {

@@ -55,10 +55,11 @@ def train(log_dir: str, args, cfg) -> None:
     feeder = DataFeeder(
         prepare_input_paths(args), cfg, cache_dir=args.cache_dir,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        seed=args.seed, cmudict=cmudict)
+        seed=args.seed, cmudict=cmudict, holdout=args.holdout)
     cfg.num_speakers = feeder.num_speakers  # startup mutation contract
-    log("Loaded %d examples / %d speakers" % (
-        len(feeder._items), feeder.num_speakers))
+    log("Loaded %d examples / %d speakers%s" % (
+        len(feeder._items), feeder.num_speakers,
+        " (+%d held out)" % args.holdout if args.holdout else ""))
 
     # Snapshot the EFFECTIVE config (post-mutation) + speaker map next to
     # the checkpoint so serving needs no manual flag hand-off.
@@ -207,6 +208,31 @@ def train(log_dir: str, args, cfg) -> None:
             log("Free-run preview at step %d: rms=%.04f decoder_steps=%d"
                 % (step, fr_rms, fr_steps))
 
+    eval_fn = None
+    if args.holdout:
+        # Teacher-forced loss on utterances training never sees: the
+        # overfitting signal the reference lacked entirely. One batch,
+        # one compiled program, evaluated every summary interval.
+        eval_batch = feeder.holdout_batch()
+
+        @jax.jit
+        def holdout_loss_fn(params, bn_state, b):
+            outputs, _ = model.forward(
+                params, bn_state, b.inputs, b.input_lengths,
+                speaker_ids=b.speaker_ids, mel_targets=b.mel_targets,
+                is_training=False)
+            return model.loss(outputs, b.mel_targets, b.linear_targets)
+
+        def eval_fn(state, step, writer):
+            loss, metrics = holdout_loss_fn(
+                state.params, state.bn_state, eval_batch)
+            scalars = {"holdout_" + k: float(v) for k, v in metrics.items()
+                       if getattr(v, "ndim", 0) == 0}
+            scalars["holdout_loss"] = float(loss)
+            writer.scalars(step, scalars)
+            log("Holdout eval at step %d: loss=%.05f (%d utterances)"
+                % (step, float(loss), len(feeder.holdout_items)))
+
     run_training(
         log_dir, state, step_fn, wrapped_batches(), mesh,
         jax.random.PRNGKey(args.seed + 1),
@@ -215,6 +241,7 @@ def train(log_dir: str, args, cfg) -> None:
         log_interval=args.log_every,
         max_steps=args.max_steps,
         artifact_fn=artifact_fn,
+        eval_fn=eval_fn,
         restore_step=args.restore_step,
     )
 
@@ -245,6 +272,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "batches in device HBM and stream them with "
                              "no per-step host transfer (0 = stream from "
                              "host)")
+    parser.add_argument("--holdout", type=int, default=0, metavar="N",
+                        help="Hold N evenly-spaced utterances out of "
+                             "training and report their teacher-forced "
+                             "loss every summary interval (overfitting "
+                             "signal)")
     parser.add_argument("--freerun-preview", action="store_true",
                         help="At each checkpoint, ALSO decode the preview "
                              "utterance autoregressively (the serving path) "
