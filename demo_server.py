@@ -333,6 +333,10 @@ def main() -> None:
                         help="How long the dynamic batcher waits for "
                              "companions after the first request")
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard batched synthesis over all local "
+                        "devices (jax.sharding data mesh); pairs well "
+                        "with --dynamic-batch")
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
 
@@ -357,8 +361,17 @@ def main() -> None:
     if args.num_speakers is not None:
         overrides = (overrides + "," if overrides else "") \
             + "num_speakers=%d" % args.num_speakers
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from nspeech_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
+        print("Serving data-parallel over %d devices" % len(jax.devices()))
     synthesizer = Synthesizer.from_checkpoint(
-        args.checkpoint, args.model, overrides, step=args.checkpoint_step)
+        args.checkpoint, args.model, overrides, step=args.checkpoint_step,
+        mesh=mesh)
     cfg = synthesizer.cfg
     print(config.debug_string(cfg))
     streamer = None

@@ -24,7 +24,14 @@ from nspeech_tpu.text.symbols import PAD_ID
 
 
 class Synthesizer:
-    def __init__(self, cfg: Config, text_bucket: int = 32):
+    def __init__(self, cfg: Config, text_bucket: int = 32, mesh=None):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis.
+        When given, batched synthesis shards the (padded) request batch over
+        the mesh's data axis — parameters are replicated, each device decodes
+        its rows, and XLA GSPMD inserts the one collective the decode
+        while_loop needs (the all-finished reduction). The reference serves
+        single-GPU only (reference: synthesizer.py); this is the
+        TPU-native scale-out path for batch serving."""
         self.cfg = cfg
         self.model = None
         self._params = None
@@ -32,13 +39,14 @@ class Synthesizer:
         self._cleaners = [x.strip() for x in cfg.cleaners.split(",")]
         self._text_bucket = text_bucket
         self._forward = None
+        self._mesh = mesh
 
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str,
                         model_name: Optional[str] = None,
                         overrides: str = "",
                         step: Optional[int] = None,
-                        text_bucket: int = 32) -> "Synthesizer":
+                        text_bucket: int = 32, mesh=None) -> "Synthesizer":
         """Build a Synthesizer entirely from a checkpoint's persisted run
         metadata (exact training-time hparams incl. the mutated
         num_speakers — no manual --num-speakers/--hparams hand-off), with
@@ -47,7 +55,7 @@ class Synthesizer:
 
         cfg, name = config_from_checkpoint(checkpoint_dir, model_name,
                                            overrides)
-        return cls(cfg, text_bucket=text_bucket).load(
+        return cls(cfg, text_bucket=text_bucket, mesh=mesh).load(
             checkpoint_dir, name, step=step)
 
     def load(self, checkpoint_dir: str, model_name: Optional[str] = None,
@@ -93,7 +101,21 @@ class Synthesizer:
                     outputs["alignments"],
                     outputs.get("decoder_steps", lengths))
 
-        self._forward = jax.jit(forward)
+        if self._mesh is not None:
+            from nspeech_tpu.parallel.mesh import (batch_sharding, replicate,
+                                                   replicated)
+
+            # Replicate weights once at load; every output of the forward is
+            # batch-leading, so one batch sharding covers inputs and outputs.
+            self._params = replicate(self._params, self._mesh)
+            self._bn_state = replicate(self._bn_state, self._mesh)
+            bs, rep = batch_sharding(self._mesh), replicated(self._mesh)
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(bs, bs, bs, rep),
+                out_shardings=(bs, bs, bs, bs, bs))
+        else:
+            self._forward = jax.jit(forward)
         return self
 
     def synthesize(self, text: str, speaker_id: int = -1
@@ -114,6 +136,11 @@ class Synthesizer:
         # Pad the batch axis to a power of two so serving compiles a small
         # bounded set of programs across request sizes.
         n = max(1, 1 << (len(seqs) - 1).bit_length())
+        if self._mesh is not None:
+            # Sharded batches must split evenly over the data axis. Padding
+            # rows start finished (length 0) so the extra rows are free.
+            dsize = self._mesh.shape.get("data", 1)
+            n = ((n + dsize - 1) // dsize) * dsize
         ids = np.full((n, padded_len), PAD_ID, np.int32)
         for i, s in enumerate(seqs):
             ids[i, : len(s)] = s

@@ -39,6 +39,9 @@ def main() -> None:
     parser.add_argument("--max-chars", type=int, default=200,
                         help="Max characters per long-form piece")
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard batched synthesis (e.g. --long pieces) "
+                        "over all local devices via a jax.sharding data mesh")
     args = parser.parse_args()
     from nspeech_tpu.utils.platform import set_platform
 
@@ -51,8 +54,15 @@ def main() -> None:
     if args.num_speakers is not None:
         overrides = (overrides + "," if overrides else "") \
             + "num_speakers=%d" % args.num_speakers
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from nspeech_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
     synth = Synthesizer.from_checkpoint(args.checkpoint, args.model,
-                                        overrides)
+                                        overrides, mesh=mesh)
     cfg = synth.cfg
 
     vocoder = None
