@@ -302,7 +302,13 @@ def _require_live_relay() -> None:
     turn a driver bench invocation into a silent timeout."""
     import socket
 
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+    # The sitecustomize can force the axon platform WITHOUT JAX_PLATFORMS
+    # being visible in the env, so detect the relay testbed by any of its
+    # markers rather than that one env var (a blocked jax.devices() is
+    # unrecoverable; the probe is skipped only on hosts with no axon trace).
+    axon_env = (os.environ.get("JAX_PLATFORMS", "") == "axon"
+                or any("AXON" in k for k in os.environ))
+    if not axon_env:
         return
     s = socket.socket()
     s.settimeout(2)
