@@ -125,10 +125,18 @@ def make_app(synthesizer, cfg, streamer=None):
     import time as _time
 
     counters = {"started": _time.time(), "routes": {}}
+    # Count only known routes by name and bucket everything else: keying on
+    # raw request paths would let a URL scanner grow the dict without bound
+    # (and the server is ThreadingMixIn — a fixed key set keeps the
+    # per-key increment races benign).
+    known_routes = frozenset(
+        ("/", "/stats", "/synthesize_stream", "/synthesize",
+         "/synthesize_batch"))
 
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
-        counters["routes"][path] = counters["routes"].get(path, 0) + 1
+        route_key = path if path in known_routes else "other"
+        counters["routes"][route_key] = counters["routes"].get(route_key, 0) + 1
         if path == "/":
             start_response("200 OK", [("Content-Type", "text/html")])
             return [HTML_BODY]

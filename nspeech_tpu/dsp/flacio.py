@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 
 _FIXED_COEF = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+# Hostile-input bound on decoded samples, mirroring native/_loader.cpp.
+MAX_STREAM_SAMPLES = 1 << 28
 _RATE_CODES = (0, 88200, 176400, 192000, 8000, 16000, 22050, 24000, 32000,
                44100, 48000, 96000)
 _SIZE_CODES = (0, 8, 12, -1, 16, 20, 24, 32)
@@ -166,6 +168,8 @@ def _subframe(r: _Reader, bps: int, blocksize: int) -> list:
         out = [r.signed(bps) for _ in range(blocksize)]
     elif 8 <= kind <= 12:  # FIXED
         order = kind & 7
+        if order > blocksize:
+            raise FlacError("predictor order exceeds block size")
         for i in range(order):
             out[i] = r.signed(bps)
         _residual(r, order, blocksize, out)
@@ -174,6 +178,8 @@ def _subframe(r: _Reader, bps: int, blocksize: int) -> list:
             out[i] += sum(c * out[i - 1 - j] for j, c in enumerate(coef))
     elif kind >= 32:  # LPC
         order = (kind & 31) + 1
+        if order > blocksize:
+            raise FlacError("predictor order exceeds block size")
         for i in range(order):
             out[i] = r.signed(bps)
         precision = r.bits(4) + 1
@@ -228,6 +234,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     chunks = []
     decoded = 0
     while (total == 0 or decoded < total) and r.pos + 2 <= len(data):
+        # Same hostile-input cap as the native decoder (_loader.cpp): a
+        # crafted stream of tiny CONSTANT frames with 65536-sample blocks
+        # would otherwise amplify a few KB of input into multi-GB output.
+        if decoded > MAX_STREAM_SAMPLES:
+            raise FlacError("stream length cap exceeded")
         frame_start = r.pos
         if r.bits(14) != 0x3FFE:
             if total == 0 and all(

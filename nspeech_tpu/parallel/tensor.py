@@ -93,13 +93,24 @@ def shard_train_state(state, mesh: Mesh, rules=TACO2_TP_RULES):
 
     def place_opt(node):
         # optax moment trees (mu/nu) have the params treedef; anything with
-        # a different structure is replicated leaf-wise.
+        # a different structure is replicated leaf-wise. Log when a node
+        # carrying real arrays takes the fallback: a new optimizer (or an
+        # optax change) silently losing moment sharding is exactly the kind
+        # of regression that should be visible in the run log.
         try:
             if (jax.tree_util.tree_structure(node)
                     == jax.tree_util.tree_structure(state.params)):
                 return shard_params(node, mesh, rules)
         except Exception:
             pass
+        if any(getattr(leaf, "ndim", 0) > 0
+               for leaf in jax.tree_util.tree_leaves(node)):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "shard_train_state: optimizer-state node %s does not mirror "
+                "the param tree; replicating it leaf-wise (no TP sharding)",
+                type(node).__name__)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl), node)
 

@@ -41,8 +41,14 @@ class DynamicBatcher:
     # --- single-request surface (what make_app's routes call) -----------
 
     def synthesize(self, text: str, speaker_id: int = -1,
-                   timeout: Optional[float] = None):
-        """Enqueue and wait; returns (wav, mel, lin) like Synthesizer."""
+                   timeout: Optional[float] = 300.0):
+        """Enqueue and wait; returns (wav, mel, lin) like Synthesizer.
+
+        The default timeout keeps a dead worker from blocking callers
+        forever (pass None only if you explicitly want to wait without
+        bound)."""
+        if not self._worker.is_alive():
+            raise RuntimeError("DynamicBatcher worker thread is dead")
         fut: Future = Future()
         self._q.put((text, speaker_id, fut))
         return fut.result(timeout=timeout)
@@ -93,13 +99,17 @@ class DynamicBatcher:
             if group:
                 self._dispatch_group(group)
 
-    def _dispatch_group(self, batch) -> None:
+    def _dispatch_group(self, batch, _retry: bool = False) -> None:
         texts = [t for t, _s, _f in batch]
         speakers = [s for _t, s, _f in batch]
-        self.stats["requests"] += len(batch)
-        self.stats["batches"] += 1
-        self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
-                                           len(batch))
+        if not _retry:
+            # Retries re-enter per item; counting them would double-book
+            # every window-mate of a failed batch and skew the /stats
+            # batching-efficiency numbers.
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                               len(batch))
         try:
             wavs, mels, lins = self._synth.synthesize_batch(texts, speakers)
         except Exception as e:
@@ -107,7 +117,7 @@ class DynamicBatcher:
                 # Don't poison window-mates: one bad request (e.g. a
                 # ClientError) re-runs each item alone so only it fails.
                 for item in batch:
-                    self._dispatch_group([item])
+                    self._dispatch_group([item], _retry=True)
                 return
             for _t, _s, fut in batch:
                 if not fut.cancelled():

@@ -171,6 +171,8 @@ class ExportedVocoder:
 
         mel = np.asarray(mel, np.float32)
         frames = self.meta["frames"]
+        if mel.shape[0] == 0:
+            raise ClientError("mel is empty (0 frames)")
         if mel.shape[0] > frames:
             raise ClientError(
                 "mel has %d frames; this artifact was exported for "

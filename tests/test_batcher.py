@@ -128,9 +128,36 @@ def test_wsgi_route_through_batcher():
 
     import json
 
+    # unknown paths (e.g. a URL scanner) share one bounded bucket instead
+    # of growing the counter dict per distinct path
+    for junk in ("/admin.php", "/wp-login", "/.env"):
+        b"".join(app({"PATH_INFO": junk, "QUERY_STRING": ""},
+                     start_response))
+
     body = b"".join(app({"PATH_INFO": "/stats", "QUERY_STRING": ""},
                         start_response))
     b.close()
     stats = json.loads(body)
     assert stats["routes"]["/synthesize"] == 1
+    assert stats["routes"]["other"] == 3
+    assert "/admin.php" not in stats["routes"]
     assert stats["dynamic_batching"]["requests"] == 1
+
+
+def test_retry_does_not_double_count_stats():
+    """A failed batch re-runs each window-mate alone; those retries must
+    not inflate the /stats batching-efficiency counters."""
+    fake = FakeSynth(bad_text="BAD")
+    b = DynamicBatcher(fake, max_batch=8, window_ms=50)
+    results, errors = _fire(b, ["ok", "BAD", "fine"])
+    b.close()
+    assert set(errors) == {1} and len(results) == 2
+    assert b.stats["requests"] == 3  # not 3 + per-item retries
+
+
+def test_dead_worker_fails_loudly():
+    fake = FakeSynth(delay=0.0)
+    b = DynamicBatcher(fake, max_batch=2, window_ms=1)
+    b.close()  # worker exits
+    with pytest.raises(RuntimeError, match="worker thread is dead"):
+        b.synthesize("hello", -1)

@@ -135,6 +135,9 @@ def test_vocoder_export_round_trip_exact(tmp_path):
 
     with pytest.raises(ValueError, match="frames=4"):
         ex.vocode(rng.random((9, 80)).astype(np.float32))
+    # empty mel is a client error, not an IndexError from the edge-hold
+    with pytest.raises(ValueError, match="empty"):
+        ex.vocode(np.zeros((0, 80), np.float32))
 
 
 def test_demo_server_serves_exported_artifact(tmp_path):

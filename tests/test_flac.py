@@ -196,3 +196,29 @@ def test_librispeech_flac_corpus(tmp_path):
     assert batch.inputs.shape[0] == 2
     assert np.isfinite(batch.mel_targets).all()
     assert batch.mel_targets.max() > 0
+
+
+def test_predictor_order_exceeding_blocksize_rejected():
+    """A FIXED/LPC subframe whose order exceeds the blocksize must raise
+    FlacError (matching _loader.cpp's decode_subframe guard), not an
+    IndexError from the warm-up writes."""
+    from nspeech_tpu.dsp import flacio
+
+    # bits: pad=0, kind=0b111111 (LPC order 32), wasted=0
+    with pytest.raises(FlacError, match="order exceeds"):
+        flacio._subframe(flacio._Reader(bytes([0x7E])), bps=16, blocksize=1)
+    # bits: pad=0, kind=0b001100 (FIXED order 4), wasted=0
+    with pytest.raises(FlacError, match="order exceeds"):
+        flacio._subframe(flacio._Reader(bytes([0x18])), bps=16, blocksize=1)
+
+
+def test_python_decoder_stream_length_cap(monkeypatch):
+    """The pure-Python fallback enforces the same decoded-size bound as the
+    native decoder, so a small crafted file can't drive unbounded memory
+    growth. (Patched low here — the real cap is 2^28 samples.)"""
+    from nspeech_tpu.dsp import flacio
+
+    monkeypatch.setattr(flacio, "MAX_STREAM_SAMPLES", 500)
+    data = encode_flac(_signal(2000), 16000, block_size=256)
+    with pytest.raises(FlacError, match="cap"):
+        decode_flac(data)
