@@ -101,6 +101,26 @@ def median_f0(wav: np.ndarray, sample_rate: int, n_fft: int = 2048,
     return float(np.median(peaks)) if peaks else 0.0
 
 
+def spectral_centroid(wav: np.ndarray, sample_rate: int,
+                      f_lo: float = 80.0, f_hi: float = 4000.0) -> float:
+    """Amplitude-weighted mean frequency of the in-band spectrum.
+
+    The simplest of the three voice estimators (one FFT, no peak
+    picking, no cross-correlation): for two speaker_voice() voices that
+    differ by a pure f_scale, centroids scale by the same factor. Kept
+    deliberately independent of median_f0/spectral_shift_ratio so the
+    voice-ratio claim never rests on one instrument's failure modes
+    (median-F0 subharmonic locks; shift estimators need both wavs)."""
+    n = min(len(wav), sample_rate * 4)
+    if n < 2048:
+        return 0.0
+    mag = np.abs(np.fft.rfft(wav[:n] * np.hanning(n)))
+    f = np.fft.rfftfreq(n, 1.0 / sample_rate)
+    band = (f >= f_lo) & (f <= f_hi)
+    w = mag[band] ** 2
+    return float((f[band] * w).sum() / (w.sum() + 1e-12))
+
+
 def spectral_shift_ratio(wav_ref: np.ndarray, wav: np.ndarray,
                          sample_rate: int, f_lo: float = 80.0,
                          f_hi: float = 4000.0) -> float:
@@ -203,6 +223,8 @@ def main() -> None:
                     # it can land on a harmonic/formant — caveat lector).
                     per_speaker[spk]["median_f0_hz"] = round(
                         median_f0(wav, synth.cfg.sample_rate), 1)
+                    per_speaker[spk]["spectral_centroid_hz"] = round(
+                        spectral_centroid(wav, synth.cfg.sample_rate), 1)
                     per_speaker[spk]["_wav"] = wav
             entry = {"text": text}
             if speakers == [-1]:
@@ -220,6 +242,11 @@ def main() -> None:
                     round(spectral_shift_ratio(
                         wavs[0], w, synth.cfg.sample_rate), 3)
                     for w in wavs]
+                cents = [per_speaker[s]["spectral_centroid_hz"]
+                         for s in speakers]
+                if cents[0] > 0:
+                    entry["centroid_ratio_vs_first_speaker"] = [
+                        round(c / cents[0], 3) for c in cents]
             report["texts"].append(entry)
 
     path = os.path.join(args.out, "report.json")

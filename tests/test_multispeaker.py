@@ -125,6 +125,28 @@ def test_multispeaker_alignment_corpus(tmp_path):
     assert abs(f0[1] / f0[0] - expected) / expected < 0.25, (f0, expected)
 
 
+def test_spectral_centroid_recovers_voice_ratio():
+    """The third (simplest) voice estimator: centroids of two rendered
+    speaker_voice() voices scale by the designed f_scale ratio, without
+    peak picking (median_f0) or cross-correlation (spectral_shift)."""
+    mac = _load_script("make_alignment_corpus")
+    ar = _load_script("alignment_report")
+    text = "deep wave tone."
+    cents = []
+    for k in range(2):
+        f_scale, h_tilt = mac.speaker_voice(k, 2)
+        wav = mac.render_text(text, 20000, np.random.default_rng(1),
+                              f_scale=f_scale, h_tilt=h_tilt)
+        cents.append(ar.spectral_centroid(wav, 20000))
+    expected = mac.speaker_voice(1, 2)[0] / mac.speaker_voice(0, 2)[0]
+    assert cents[0] > 0 and cents[1] > 0
+    # harmonic tilts are decorrelated from f_scale, so the centroid ratio
+    # is noisier than the designed ratio — but it must clearly separate
+    # the voices in the right direction
+    assert abs(cents[1] / cents[0] - expected) / expected < 0.35, (
+        cents, expected)
+
+
 def test_median_f0_ignores_dominant_harmonics():
     """HPS pins the fundamental even when the 2nd/3rd partials are LOUDER
     (harmonic tilt > 1 speakers): the exact case where an FFT-argmax
