@@ -233,20 +233,38 @@ def main() -> None:
                 wavs = [per_speaker[s].pop("_wav") for s in speakers]
                 entry["per_speaker"] = {str(k): v
                                         for k, v in per_speaker.items()}
+                # Voice-ratio estimators are spectral measurements; on a
+                # degenerate (near-silent) decode they measure residual
+                # noise, not a voice — observed as "ratios" of 18-23x for
+                # a designed 1.54x pair. Gate every ratio on both decodes
+                # carrying real energy and say so, instead of printing a
+                # number a reader must know to distrust.
+                MIN_VOICED_RMS = 0.05
+                voiced = [per_speaker[s]["rms"] >= MIN_VOICED_RMS
+                          for s in speakers]
+
+                def _gate(vals):
+                    return [v if voiced[0] and voiced[i] else None
+                            for i, v in enumerate(vals)]
+
                 f0s = [per_speaker[s]["median_f0_hz"] for s in speakers]
                 if f0s[0] > 0:
-                    entry["f0_ratio_vs_first_speaker"] = [
-                        round(f / f0s[0], 3) for f in f0s]
+                    entry["f0_ratio_vs_first_speaker"] = _gate(
+                        [round(f / f0s[0], 3) for f in f0s])
                 # whole-spectrum ratio: robust companion to median F0
-                entry["spectral_ratio_vs_first_speaker"] = [
-                    round(spectral_shift_ratio(
+                entry["spectral_ratio_vs_first_speaker"] = _gate(
+                    [round(spectral_shift_ratio(
                         wavs[0], w, synth.cfg.sample_rate), 3)
-                    for w in wavs]
+                     for w in wavs])
                 cents = [per_speaker[s]["spectral_centroid_hz"]
                          for s in speakers]
                 if cents[0] > 0:
-                    entry["centroid_ratio_vs_first_speaker"] = [
-                        round(c / cents[0], 3) for c in cents]
+                    entry["centroid_ratio_vs_first_speaker"] = _gate(
+                        [round(c / cents[0], 3) for c in cents])
+                if not all(voiced):
+                    entry["ratio_note"] = (
+                        "null ratios: decode(s) below rms %.2f — spectral "
+                        "estimators would measure noise" % MIN_VOICED_RMS)
             report["texts"].append(entry)
 
     path = os.path.join(args.out, "report.json")
