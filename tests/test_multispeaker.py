@@ -5,6 +5,8 @@ CMUDict ARPAbet substitution."""
 import io
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -318,3 +320,39 @@ def test_spectral_shift_ratio_recovers_designed_scale():
     assert abs(est - scale) / scale < 0.05, est
     # identity control
     assert abs(ar.spectral_shift_ratio(a, a, sr) - 1.0) < 0.01
+
+
+@pytest.mark.smoke
+def test_exposure_report_freerun_comparison(tmp_path):
+    """exposure_report compares freerun_rms curves across runs: first
+    audible step, audible fraction, and the curve PNG."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    for name, rms in (("a", [0.001, 0.002, 0.08, 0.1]),
+                      ("b", [0.001, 0.09, 0.12, 0.11])):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "metrics.jsonl", "w") as f:
+            for i, r in enumerate(rms):
+                f.write(_json.dumps({"step": (i + 1) * 500,
+                                     "freerun_rms": r,
+                                     "freerun_decoder_steps": 300.0,
+                                     "loss": 0.5}) + "\n")
+            f.write(_json.dumps({"step": 2001, "loss": 0.4}) + "\n")
+
+    out = tmp_path / "out"
+    script = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                          "exposure_report.py")
+    subprocess.run(
+        [_sys.executable, script, "--run", f"ss0.0={tmp_path/'a'}",
+         "--run", f"ss0.5={tmp_path/'b'}", "--out", str(out)], check=True)
+    with open(out / "report.json") as f:
+        rep = _json.load(f)
+    assert rep["runs"]["ss0.0"]["first_audible_step"] == 1500
+    assert rep["runs"]["ss0.5"]["first_audible_step"] == 1000
+    assert rep["runs"]["ss0.5"]["audible_fraction"] == 0.75
+    # rows without freerun_rms (plain training metrics) are ignored
+    assert len(rep["runs"]["ss0.0"]["points"]) == 4
+    assert (out / "freerun_rms.png").is_file()
