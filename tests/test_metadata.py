@@ -113,3 +113,38 @@ def test_metadata_merges_over_current_yaml_defaults(tmp_path):
     out, _ = config_from_checkpoint(
         str(tmp_path), overrides="guided_attention_weight=5.0")
     assert out.guided_attention_weight == 5.0  # and stays overridable
+
+
+def test_trainer_cli_hparams_from(tmp_path, monkeypatch):
+    """train.py --hparams-from <ckpt_dir>: the run-metadata hparams (and
+    model name) become the base config for a fine-tune, with --hparams
+    overrides on top — no hand-copied flag soup (the mechanism behind
+    'resume a run with only scheduled_sampling_ratio changed')."""
+    import sys
+
+    import train as train_cli
+
+    cfg = load_config("taco2")
+    cfg.encoder_conv_channels = 96  # a non-default the CLI must pick up
+    cfg.num_speakers = 3
+    save_run_metadata(str(tmp_path / "ckpt"), "taco2", cfg)
+
+    seen = {}
+    monkeypatch.setattr(train_cli, "train",
+                        lambda log_dir, args, c: seen.update(
+                            model=args.model, cfg=c))
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--platform", "cpu", "--log-dir", str(tmp_path / "logs"),
+        "--hparams-from", str(tmp_path / "ckpt"),
+        "--hparams", "scheduled_sampling_ratio=0.5"])
+    train_cli.main()
+    assert seen["model"] == "taco2"  # from metadata, not the CLI default
+    assert seen["cfg"].encoder_conv_channels == 96
+    assert seen["cfg"].num_speakers == 3
+    assert seen["cfg"].scheduled_sampling_ratio == 0.5  # override on top
+
+    # without --hparams-from the default model name still applies
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--platform", "cpu", "--log-dir", str(tmp_path / "logs")])
+    train_cli.main()
+    assert seen["model"] == "taco1"

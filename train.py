@@ -253,10 +253,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ljspeech", default="", help="LJSpeech-layout corpus dir")
     parser.add_argument("--librispeech", default="", help="corpus.csv-layout dir")
     parser.add_argument("--arctic", default="", help="CMU Arctic corpus dir")
-    parser.add_argument("--model", default="taco1")
+    parser.add_argument("--model", default=None,
+                        help="Model name (default: taco1, or the "
+                             "--hparams-from checkpoint's model)")
     parser.add_argument("--name", help="Run name (defaults to model name)")
     parser.add_argument("--hparams", default="",
                         help="Comma-separated name=value overrides")
+    parser.add_argument("--hparams-from", default="", metavar="CKPT_DIR",
+                        help="Fine-tuning base: load the EFFECTIVE hparams "
+                             "(and model name) from a checkpoint dir's run "
+                             "metadata (config.json) instead of the YAML "
+                             "defaults; --hparams overrides apply on top. "
+                             "Restoring a checkpoint into a mismatched "
+                             "architecture otherwise fails with an Orbax "
+                             "tree error")
     parser.add_argument("--restore-step", type=int,
                         help="Checkpoint step to restore (default: latest)")
     parser.add_argument("--summary-interval", type=int, default=1000)
@@ -311,6 +321,16 @@ def main() -> None:
     import jax as _jax
 
     _jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    if args.hparams_from:
+        from nspeech_tpu.train.metadata import config_from_checkpoint
+
+        cfg, args.model = config_from_checkpoint(
+            args.hparams_from, model_name=args.model,
+            overrides=args.hparams)
+    else:
+        args.model = args.model or "taco1"
+        cfg = config.load_config(args.model)
+        cfg.parse(args.hparams)
     run_name = args.name or args.model
     log_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(log_dir, exist_ok=True)
@@ -319,12 +339,12 @@ def main() -> None:
         "matmul precision: %s (bf16 is the TPU default; pass "
         "--matmul-precision highest for full-fp32 matmuls)"
         % args.matmul_precision)
+    if args.hparams_from:
+        infolog.log("hparams base: run metadata from %s" % args.hparams_from)
     if args.git:
         from nspeech_tpu.utils import get_git_commit
 
         get_git_commit()
-    cfg = config.load_config(args.model)
-    cfg.parse(args.hparams)
     train(log_dir, args, cfg)
 
 

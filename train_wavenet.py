@@ -95,9 +95,17 @@ def main() -> None:
     parser.add_argument("--ljspeech", default="")
     parser.add_argument("--librispeech", default="")
     parser.add_argument("--arctic", default="")
-    parser.add_argument("--model", default="wavenet")
+    parser.add_argument("--model", default=None,
+                        help="Model name (default: wavenet, or the "
+                             "--hparams-from checkpoint's model)")
     parser.add_argument("--name")
     parser.add_argument("--hparams", default="")
+    parser.add_argument("--hparams-from", default="", metavar="CKPT_DIR",
+                        help="Fine-tuning base: load the EFFECTIVE hparams "
+                             "(and model name) from a checkpoint dir's run "
+                             "metadata instead of the YAML defaults; "
+                             "--hparams overrides apply on top (e.g. resume "
+                             "a trained vocoder on --gta-dir features)")
     parser.add_argument("--restore-step", type=int)
     parser.add_argument("--summary-interval", type=int, default=1000)
     parser.add_argument("--log-every", type=int, default=1,
@@ -122,6 +130,16 @@ def main() -> None:
     import jax as _jax
 
     _jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    if args.hparams_from:
+        from nspeech_tpu.train.metadata import config_from_checkpoint
+
+        cfg, args.model = config_from_checkpoint(
+            args.hparams_from, model_name=args.model,
+            overrides=args.hparams)
+    else:
+        args.model = args.model or "wavenet"
+        cfg = config.load_config(args.model)
+        cfg.parse(args.hparams)
     run_name = args.name or args.model
     log_dir = os.path.join(args.log_dir, run_name)
     os.makedirs(log_dir, exist_ok=True)
@@ -130,8 +148,8 @@ def main() -> None:
         "matmul precision: %s (bf16 is the TPU default; pass "
         "--matmul-precision highest for full-fp32 matmuls)"
         % args.matmul_precision)
-    cfg = config.load_config(args.model)
-    cfg.parse(args.hparams)
+    if args.hparams_from:
+        infolog.log("hparams base: run metadata from %s" % args.hparams_from)
     train_wavenet(log_dir, args, cfg)
 
 
