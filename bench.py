@@ -46,7 +46,8 @@ def _chip_peak_flops() -> float:
 
 
 def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
-                      steps: int = 10, precision: str = "bfloat16"):
+                      steps: int = 10, precision: str = "bfloat16",
+                      hparams: str = ""):
     """Returns (frames/sec/chip, sec_per_step, mfu)."""
     # Training default: single-pass bf16 MXU matmuls (~2x over fp32 passes).
     jax.config.update("jax_default_matmul_precision", precision)
@@ -59,6 +60,12 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
 
     cfg = config.load_config("taco2")
     cfg.batch_size = batch_size
+    # Experiment overrides (e.g. outputs_per_step=3 for the MFU-vs-r
+    # recurrence-ceiling sweep). The frame budget stays a multiple of r
+    # like the feeder guarantees.
+    cfg.parse(hparams)
+    r = int(cfg.outputs_per_step)
+    t_out = ((t_out + r - 1) // r) * r
     model = create_model("taco2", cfg)
     tx, schedule = make_optimizer(cfg, "taco2")
     mesh = pick_mesh(batch_size)
@@ -340,6 +347,10 @@ def main() -> None:
                              "WaveNet benches keep their own default)")
     parser.add_argument("--precision", default="bfloat16",
                         choices=["bfloat16", "tensorfloat32", "highest"])
+    parser.add_argument("--hparams", default="",
+                        help="k=v overrides for the Tacotron-2 training "
+                             "bench config (e.g. outputs_per_step=3 for "
+                             "the MFU-vs-r ceiling sweep)")
     args = parser.parse_args()
 
     _require_live_relay()
@@ -351,7 +362,7 @@ def main() -> None:
 
     frames_per_sec, sec_per_step, mfu = bench_taco2_train(
         batch_size=args.batch_size, steps=args.steps,
-        precision=args.precision)
+        precision=args.precision, hparams=args.hparams)
     _emit("taco2_train_mel_frames_per_sec_per_chip", round(frames_per_sec, 1),
           "frames/sec/chip", round(frames_per_sec / 10000.0, 3),
           args.precision)
