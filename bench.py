@@ -134,7 +134,7 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
 
 def bench_wavenet_train(batch_size: int = 4, sample_size: int = 20480,
                         steps: int = 8, precision: str = "bfloat16",
-                        use_lc: bool = False):
+                        use_lc: bool = False, hparams: str = ""):
     """Sustained WaveNet training rate in audio samples/sec/chip (chained
     dispatch, same methodology as the Tacotron bench). ``use_lc``
     measures the mel-conditioned vocoder configuration (lc_channels=80,
@@ -149,6 +149,7 @@ def bench_wavenet_train(batch_size: int = 4, sample_size: int = 20480,
     cfg = config.load_config("wavenet")
     if use_lc:
         cfg.parse("lc_channels=80")
+    cfg.parse(hparams)
     net = WaveNet(cfg)
     tx, schedule = make_optimizer(cfg, "wavenet")
     step_fn = build_wavenet_train_step(net, tx, cfg, schedule=schedule,
@@ -385,6 +386,35 @@ def main() -> None:
     _emit("wavenet_train_lc_samples_per_sec_per_chip", round(rate_tr_lc, 1),
           "samples/sec/chip", round(rate_tr_lc / 20000.0 / 5.0, 4),
           args.precision)
+
+    # Mixed-precision policy variants (compute_dtype=bfloat16,
+    # ops/policy.py): bf16 activations end-to-end with f32 masters. The
+    # rows above keep f32 activations (with bf16 matmul passes), so the
+    # pair isolates the activation-bandwidth win. Guarded: policy metrics
+    # must not void the baseline rows.
+    def _hp_join(*parts):
+        return ",".join(p for p in parts if p)
+    try:
+        fps16, _, mfu16 = bench_taco2_train(
+            batch_size=args.batch_size, steps=args.steps,
+            precision=args.precision,
+            hparams=_hp_join(args.hparams, "compute_dtype=bfloat16"))
+        _emit("taco2_train_mel_frames_per_sec_per_chip_bf16",
+              round(fps16, 1), "frames/sec/chip",
+              round(fps16 / 10000.0, 3), "bfloat16_policy")
+        if mfu16 is not None:
+            _emit("taco2_train_mfu_bf16", round(mfu16, 4),
+                  "fraction_of_peak", None, "bfloat16_policy")
+        rate_lc16 = bench_wavenet_train(
+            steps=args.steps, precision=args.precision, use_lc=True,
+            hparams="compute_dtype=bfloat16")
+        _emit("wavenet_train_lc_samples_per_sec_per_chip_bf16",
+              round(rate_lc16, 1), "samples/sec/chip",
+              round(rate_lc16 / 20000.0 / 5.0, 4), "bfloat16_policy")
+    except Exception as e:  # pragma: no cover - defensive
+        import sys
+
+        print("bench: bf16-policy metrics failed: %s" % e, file=sys.stderr)
 
     # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
     # are MXU-latency-bound; bf16 measured no faster). The TPU kernel does

@@ -70,11 +70,12 @@ def prepare_memory(params: Params, memory: jnp.ndarray) -> jnp.ndarray:
     return dense(params["memory_layer"], memory)
 
 
-def initial_alignments(attention_type: str, batch: int, t_in: int) -> jnp.ndarray:
+def initial_alignments(attention_type: str, batch: int, t_in: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
     if attention_type == "bah_mon":
         # Monotonic attention starts focused on position 0.
-        return jnp.zeros((batch, t_in)).at[:, 0].set(1.0)
-    return jnp.zeros((batch, t_in))
+        return jnp.zeros((batch, t_in), dtype).at[:, 0].set(1.0)
+    return jnp.zeros((batch, t_in), dtype)
 
 
 def window_mask(
@@ -99,17 +100,28 @@ def window_mask(
 
 
 def _masked_softmax(score: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    # Normalize in f32 even under the bf16 compute policy (ops/policy.py):
+    # the exp/sum is a statistic, and it is a rounding-error-sized cost.
+    out_dtype = score.dtype
+    score = score.astype(jnp.float32)
     if mask is not None:
         score = jnp.where(mask, score, -jnp.inf)
-    return jax.nn.softmax(score, axis=-1)
+    return jax.nn.softmax(score, axis=-1).astype(out_dtype)
 
 
 def _monotonic_alignments(p_choose: jnp.ndarray, previous: jnp.ndarray) -> jnp.ndarray:
-    """Raffel et al. parallel-mode monotonic attention update."""
+    """Raffel et al. parallel-mode monotonic attention update.
+
+    The cumprod/cumsum recursion runs in f32 (its clipping floors sit far
+    below bf16 resolution); the result returns in the compute dtype."""
+    out_dtype = previous.dtype
+    p_choose = p_choose.astype(jnp.float32)
+    previous = previous.astype(jnp.float32)
     # exclusive cumprod of (1 - p)
     cumprod_1mp = jnp.cumprod(1.0 - p_choose, axis=-1) / jnp.clip(1.0 - p_choose, 1e-10, 1.0)
     cumprod_1mp = jnp.clip(cumprod_1mp, 1e-10, 1.0)
-    return p_choose * cumprod_1mp * jnp.cumsum(previous / cumprod_1mp, axis=-1)
+    out = p_choose * cumprod_1mp * jnp.cumsum(previous / cumprod_1mp, axis=-1)
+    return out.astype(out_dtype)
 
 
 def attention_step(

@@ -20,6 +20,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _carry_float_dtype(carry0):
+    """The decode's compute dtype, read off the carry's float leaves (the
+    GO frame must match or the while/scan carry flips dtype mid-loop)."""
+    for leaf in jax.tree_util.tree_leaves(carry0):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
+            return jnp.asarray(leaf).dtype
+    return jnp.float32
+
+
 def teacher_frames(mel_targets: jnp.ndarray, r: int) -> jnp.ndarray:
     """[N, T_out, M] -> time-major decoder inputs [S, N, M] where S=T_out/r.
 
@@ -154,7 +163,7 @@ def scan_autoregressive(
     per-row zeroing of finished sequences (the cell state keeps evolving,
     like TF's impute_finished=False default).
     """
-    x0 = jnp.zeros((batch, num_mels))          # GO frame
+    x0 = jnp.zeros((batch, num_mels), _carry_float_dtype(carry0))  # GO frame
     if initial_finished is None:
         initial_finished = jnp.zeros((batch,), bool)
 
@@ -214,7 +223,7 @@ def start_autoregressive(
     """
     if initial_finished is None:
         initial_finished = jnp.zeros((batch,), bool)
-    x0 = jnp.zeros((batch, num_mels))
+    x0 = jnp.zeros((batch, num_mels), _carry_float_dtype(carry0))
     carry1, (out0, align0) = step(carry0, x0, None)
     out0 = jnp.where(initial_finished[:, None], 0.0, out0)
     stop0 = jnp.all(jnp.abs(out0) <= stop_threshold, axis=-1)

@@ -27,6 +27,7 @@ from nspeech_tpu.models import decoder as D
 from nspeech_tpu.models import modules as M
 from nspeech_tpu.ops import deferred as DF
 from nspeech_tpu.ops import layers as L
+from nspeech_tpu.ops import policy as P
 from nspeech_tpu.text.symbols import symbols
 
 softsign = jax.nn.soft_sign
@@ -202,15 +203,15 @@ class Tacotron1:
             grads[name] = {k: v for k, v in g.items() if k in grads[name]}
         return grads
 
-    def _decoder_carry0(self, batch: int, t_in: int):
+    def _decoder_carry0(self, batch: int, t_in: int, dtype=jnp.float32):
         cfg = self.cfg
         memory_dim = 2 * self._enc_meta["gru_units"]
         return (
-            jnp.zeros((batch, cfg.attention_dim)),
-            jnp.zeros((batch, memory_dim)),
-            A.initial_alignments(cfg.attention_type, batch, t_in),
-            jnp.zeros((batch, cfg.decoder_dim)),
-            jnp.zeros((batch, cfg.decoder_dim)),
+            jnp.zeros((batch, cfg.attention_dim), dtype),
+            jnp.zeros((batch, memory_dim), dtype),
+            A.initial_alignments(cfg.attention_type, batch, t_in, dtype),
+            jnp.zeros((batch, cfg.decoder_dim), dtype),
+            jnp.zeros((batch, cfg.decoder_dim), dtype),
         )
 
     # -- forward --------------------------------------------------------------
@@ -237,6 +238,8 @@ class Tacotron1:
         chunked decoding (see tacotron2.attention_context). Tacotron-1's
         decoder frames ARE the mel (no postnet residual)."""
         n, t_in = text_inputs.shape
+        dtype = P.compute_dtype(self.cfg)
+        params = P.cast_floats(params, dtype)
         enc_out, spk, _ = self.encode(
             params, state, text_inputs, input_lengths, speaker_ids,
             False, jax.random.PRNGKey(0))
@@ -244,10 +247,11 @@ class Tacotron1:
         mask = (jnp.arange(t_in)[None, :]
                 < jnp.maximum(input_lengths, 1)[:, None])
         return ((keys_mem, enc_out, mask, spk),
-                self._decoder_carry0(n, t_in))
+                self._decoder_carry0(n, t_in, dtype))
 
     def make_eval_step(self, params, step_ctx):
         keys_mem, enc_out, mask, spk = step_ctx
+        params = P.cast_floats(params, P.compute_dtype(self.cfg))
         return self._make_step(params, keys_mem, enc_out, mask, spk,
                                is_training=False)
 
@@ -271,6 +275,13 @@ class Tacotron1:
         rng_enc, rng_dec = jax.random.split(rng)
         n, t_in = text_inputs.shape
 
+        # Mixed-precision entry (ops/policy.py): f32 masters stay outside;
+        # the cast's autodiff transpose returns f32 grads to them.
+        dtype = P.compute_dtype(cfg)
+        params = P.cast_floats(params, dtype)
+        mel_targets = P.cast_floats(mel_targets, dtype)
+        deferred_zs = P.cast_floats(deferred_zs, dtype)
+
         enc_out, spk, enc_state = self.encode(
             params, state, text_inputs, input_lengths, speaker_ids,
             is_training, rng_enc)
@@ -281,7 +292,7 @@ class Tacotron1:
 
         step = self._make_step(params, keys_mem, enc_out, mask, spk,
                                is_training, deferred=deferred_zs is not None)
-        carry0 = self._decoder_carry0(n, t_in)
+        carry0 = self._decoder_carry0(n, t_in, dtype)
 
         lengths = None
         deferred_aux = None

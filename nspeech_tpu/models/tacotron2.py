@@ -23,6 +23,7 @@ from nspeech_tpu.models import decoder as D
 from nspeech_tpu.models import modules as M
 from nspeech_tpu.ops import deferred as DF
 from nspeech_tpu.ops import layers as L
+from nspeech_tpu.ops import policy as P
 from nspeech_tpu.text.symbols import symbols
 
 softsign = jax.nn.soft_sign
@@ -184,9 +185,11 @@ class Tacotron2:
                     k.at[-dwh.shape[0]:].set(dwh.astype(k.dtype)))
         return grads
 
-    def _decoder_carry0(self, batch: int, t_in: int):
+    def _decoder_carry0(self, batch: int, t_in: int, dtype=jnp.float32):
         cfg = self.cfg
-        z = jnp.zeros
+
+        def z(shape):
+            return jnp.zeros(shape, dtype)
 
         def lstm_state(units):
             return (z((batch, units)), z((batch, units)))
@@ -194,7 +197,7 @@ class Tacotron2:
         return (
             lstm_state(cfg.attention_dim),
             z((batch, self._memory_dim)),
-            A.initial_alignments("location_sensitive", batch, t_in),
+            A.initial_alignments("location_sensitive", batch, t_in, dtype),
             lstm_state(cfg.decoder_lstm_units),
             lstm_state(cfg.decoder_lstm_units),
         )
@@ -208,6 +211,8 @@ class Tacotron2:
         ``decoder.start_autoregressive`` / ``scan_autoregressive_chunk``
         — the same tensors forward() builds before its decode scan."""
         n, t_in = text_inputs.shape
+        dtype = P.compute_dtype(self.cfg)
+        params = P.cast_floats(params, dtype)
         embedded = L.embedding(params["embedding"], text_inputs)
         spk = None
         if self.multi_speaker:
@@ -220,18 +225,21 @@ class Tacotron2:
         mask = (jnp.arange(t_in)[None, :]
                 < jnp.maximum(input_lengths, 1)[:, None])
         return ((keys_mem, enc_out, mask, spk),
-                self._decoder_carry0(n, t_in))
+                self._decoder_carry0(n, t_in, dtype))
 
     def make_eval_step(self, params, step_ctx):
         keys_mem, enc_out, mask, spk = step_ctx
+        params = P.cast_floats(params, P.compute_dtype(self.cfg))
         return self._make_step(params, keys_mem, enc_out, mask, spk,
                                is_training=False)
 
     def postnet_residual(self, params, state, frames):
         """Postnet over a frame window (inference; BN uses running
         stats). mel = decoder frames + this residual."""
-        residual, _ = M.postnet(params["postnet"], state["postnet"],
-                                frames, False)
+        dtype = P.compute_dtype(self.cfg)
+        residual, _ = M.postnet(P.cast_floats(params["postnet"], dtype),
+                                state["postnet"],
+                                P.cast_floats(frames, dtype), False)
         return residual
 
     # -- forward ------------------------------------------------------------
@@ -254,6 +262,13 @@ class Tacotron2:
         _, rng_dec = jax.random.split(rng)
         n, t_in = text_inputs.shape
 
+        # Mixed-precision entry (ops/policy.py): f32 masters stay outside;
+        # the cast's autodiff transpose returns f32 grads to them.
+        dtype = P.compute_dtype(cfg)
+        params = P.cast_floats(params, dtype)
+        mel_targets = P.cast_floats(mel_targets, dtype)
+        deferred_zs = P.cast_floats(deferred_zs, dtype)
+
         embedded = L.embedding(params["embedding"], text_inputs)
         spk = None
         if self.multi_speaker:
@@ -275,7 +290,7 @@ class Tacotron2:
         mask = jnp.arange(t_in)[None, :] < jnp.maximum(input_lengths, 1)[:, None]
         step = self._make_step(params, keys_mem, enc_out, mask, spk,
                                is_training, deferred=deferred_zs is not None)
-        carry0 = self._decoder_carry0(n, t_in)
+        carry0 = self._decoder_carry0(n, t_in, dtype)
 
         lengths = None
         deferred_aux = None

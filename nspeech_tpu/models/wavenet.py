@@ -29,6 +29,7 @@ import numpy as np
 
 from nspeech_tpu.config import Config
 from nspeech_tpu.dsp.mulaw import mu_law_encode
+from nspeech_tpu.ops import policy as P
 from nspeech_tpu.ops.layers import glorot_uniform
 
 Params = Dict[str, Any]
@@ -148,14 +149,19 @@ class WaveNet:
             for k in range(fw):
                 seg = jax.lax.dynamic_slice_in_dim(
                     x, k * dilation, t_out, axis=1)
+                # f32 accumulation, compute-dtype result (ops/policy.py)
                 term = jnp.einsum("ntc,co->nto", seg, w[k],
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32
+                                  ).astype(x.dtype)
                 out = term if out is None else out + term
             return out
+        # conv transpose rejects mixed-dtype cotangents — only request f32
+        # accumulation when the compute dtype IS f32 (see ops.layers.conv1d)
         return jax.lax.conv_general_dilated(
             x, w, window_strides=(1,), padding="VALID",
             rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                    else None))
 
     def _network(self, params: Params, x: jnp.ndarray,
                  gc: Optional[jnp.ndarray], lc: Optional[jnp.ndarray]):
@@ -223,7 +229,7 @@ class WaveNet:
         skips = jnp.einsum(
             "lnto,loc->ntc", jnp.stack(skip_outs),
             jnp.stack([lp["skip"][0] for lp in params["layers"]]),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_biases:
             skips = skips + sum(lp["skip_bias"] for lp in params["layers"])
 
@@ -251,11 +257,17 @@ class WaveNet:
     ):
         """Returns (logits [N, T-RF, Q], target codes [N, T-RF])."""
         Q = self.quantization_channels
+        # Mixed-precision entry (ops/policy.py): cast params + float
+        # conditioning; accumulation stays f32 (see _causal_conv), the
+        # loss upcasts the logits.
+        dtype = P.compute_dtype(self.cfg)
+        params = P.cast_floats(params, dtype)
+        lc = P.cast_floats(lc, dtype)
         encoded = mu_law_encode(audio, Q)          # [N, T]
         lc_in = lc[:, :-1, :] if lc is not None else None
         gc = self._embed_gc(params, gc_ids)
         if self.scalar_input:
-            net_in = audio[:, :-1, None].astype(jnp.float32)
+            net_in = audio[:, :-1, None].astype(dtype)
             logits = self._network(params, net_in, gc, lc_in)
         else:
             # The width-2 causal conv over a one-hot input is two embedding
@@ -281,7 +293,8 @@ class WaveNet:
     def loss(self, logits: jnp.ndarray, targets: jnp.ndarray,
              params: Optional[Params] = None,
              l2_strength: Optional[float] = None):
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        # Cross-entropy in f32 whatever the compute dtype (ops/policy.py).
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
         loss = jnp.mean(ce)
         metrics = {"loss": loss}

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from nspeech_tpu.ops import layers as L
+
 Params = Dict[str, jnp.ndarray]
 
 
@@ -43,8 +45,7 @@ def dense_deferred(params: Params, x: jnp.ndarray, z: jnp.ndarray,
     Returns ``(y, x)`` — the caller must emit ``x`` from the scan and pass
     the stacked ``(x, dz)`` to :func:`matmul_grads`.
     """
-    y = jnp.dot(x, lax.stop_gradient(params["kernel"]),
-                preferred_element_type=jnp.float32) + z
+    y = L.acc_dot(x, lax.stop_gradient(params["kernel"])) + z
     if "bias" in params:
         y = y + lax.stop_gradient(params["bias"])
     return (activation(y) if activation is not None else y), x
@@ -62,8 +63,7 @@ def lstm_cell_deferred(
     to stack for :func:`matmul_grads`."""
     c, h = state
     xh = jnp.concatenate([x, h], axis=-1)
-    pre = (jnp.dot(xh, lax.stop_gradient(params["kernel"]),
-                   preferred_element_type=jnp.float32)
+    pre = (L.acc_dot(xh, lax.stop_gradient(params["kernel"]))
            + lax.stop_gradient(params["bias"]) + z)
     i, g, f, o = jnp.split(pre, 4, axis=-1)
     new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -83,14 +83,12 @@ def gru_cell_deferred(
     candidate kernel inputs to stack."""
     xh = jnp.concatenate([x, h], axis=-1)
     gates = jax.nn.sigmoid(
-        jnp.dot(xh, lax.stop_gradient(params["gate_kernel"]),
-                preferred_element_type=jnp.float32)
+        L.acc_dot(xh, lax.stop_gradient(params["gate_kernel"]))
         + lax.stop_gradient(params["gate_bias"]) + z_gate)
     r, u = jnp.split(gates, 2, axis=-1)
     xrh = jnp.concatenate([x, r * h], axis=-1)
     cand = jnp.tanh(
-        jnp.dot(xrh, lax.stop_gradient(params["cand_kernel"]),
-                preferred_element_type=jnp.float32)
+        L.acc_dot(xrh, lax.stop_gradient(params["cand_kernel"]))
         + lax.stop_gradient(params["cand_bias"]) + z_cand)
     return u * h + (1.0 - u) * cand, xh, xrh
 
@@ -109,7 +107,10 @@ def bilstm_wh_grads(h_entry: jnp.ndarray,
     """
     t, two_n, h = h_entry.shape
     hs = h_entry.reshape(t, 2, two_n // 2, h)
-    dzs = dz.reshape(t, 2, two_n // 2, -1)
+    # dz arrives f32 (cotangent of the f32 injection zeros); match the
+    # saved-activation dtype so the contraction stays on the MXU's native
+    # path under the bf16 policy — accumulation is f32 either way.
+    dzs = dz.astype(h_entry.dtype).reshape(t, 2, two_n // 2, -1)
     dwh = jnp.einsum("tgnh,tgnz->ghz", hs, dzs,
                      preferred_element_type=jnp.float32)
     return dwh[0], dwh[1]
@@ -122,6 +123,6 @@ def matmul_grads(inputs: jnp.ndarray, dz: jnp.ndarray,
     ``inputs`` [S, B, in], ``dz`` [S, B, out] ->
     ``{kernel: [in, out], bias: [out]}`` via one accumulating matmul.
     """
-    dW = jnp.einsum("sbi,sbo->io", inputs, dz,
+    dW = jnp.einsum("sbi,sbo->io", inputs, dz.astype(inputs.dtype),
                     preferred_element_type=jnp.float32)
-    return {kernel: dW, bias: dz.sum(axis=(0, 1))}
+    return {kernel: dW, bias: dz.astype(jnp.float32).sum(axis=(0, 1))}

@@ -45,7 +45,9 @@ def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
 
 
 def dense(params: Params, x: jnp.ndarray, activation=None) -> jnp.ndarray:
-    y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
+    # f32 accumulation, compute-dtype result (see acc_dot below)
+    y = jnp.dot(x, params["kernel"],
+                preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in params:
         y = y + params["bias"]
     return activation(y) if activation is not None else y
@@ -86,6 +88,10 @@ def conv1d(params: Params, x: jnp.ndarray, padding: str = "SAME",
     here (taco2 step 26.1 -> 29.4 ms) — at the Tacotron stacks'
     128-512 channels the conv lowering already tiles the MXU well and
     one conv beats width-many einsums."""
+    # No f32 preferred_element_type under bf16: conv's transpose rule
+    # rejects the mixed-dtype cotangent the f32->bf16 convert would create,
+    # and the TPU MXU accumulates bf16 convs in f32 internally anyway.
+    pref = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x,
         params["kernel"],
@@ -93,7 +99,7 @@ def conv1d(params: Params, x: jnp.ndarray, padding: str = "SAME",
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pref,
     )
     if "bias" in params:
         y = y + params["bias"]
@@ -104,6 +110,23 @@ def conv1d(params: Params, x: jnp.ndarray, padding: str = "SAME",
 # Batch normalization (tf.layers.batch_normalization semantics:
 # momentum 0.99, eps 1e-3, stats over all axes but channels)
 # ---------------------------------------------------------------------------
+
+def acc_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Matmul with f32 accumulation, result in x's dtype.
+
+    Under the bf16 compute policy (ops/policy.py) this is the MXU's
+    native bf16-multiply/f32-accumulate path with the output rounded
+    back to bf16 (XLA fuses the convert); at f32 it is a plain dot.
+    Keeping the output in the compute dtype is what keeps scan carries
+    dtype-stable."""
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def acc_einsum(spec: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Einsum twin of :func:`acc_dot` (f32 accumulation, a's dtype out)."""
+    return jnp.einsum(spec, a, b,
+                      preferred_element_type=jnp.float32).astype(a.dtype)
+
 
 BN_MOMENTUM = 0.99
 BN_EPS = 1e-3
@@ -121,9 +144,12 @@ def batch_norm(params: Params, state: Params, x: jnp.ndarray,
     batch mean/var reductions are global across shards automatically
     (cross-replica batch stats — SURVEY.md §7 hard part 4)."""
     axes = tuple(range(x.ndim - 1))
+    # Moments and running stats in f32 regardless of the compute dtype
+    # (ops/policy.py): bf16 batch statistics drift the running estimates.
+    xf = x.astype(jnp.float32)
     if is_training:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         new_state = {
             "mean": BN_MOMENTUM * state["mean"] + (1 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * state["var"] + (1 - BN_MOMENTUM) * var,
@@ -131,9 +157,9 @@ def batch_norm(params: Params, state: Params, x: jnp.ndarray,
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    y = (x - mean) * inv + params["offset"]
-    return y, new_state
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"].astype(jnp.float32)
+    y = (xf - mean) * inv + params["offset"].astype(jnp.float32)
+    return y.astype(x.dtype), new_state
 
 
 # ---------------------------------------------------------------------------
@@ -219,15 +245,10 @@ def init_gru(key, in_dim: int, units: int) -> Params:
 def gru_cell(params: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     xh = jnp.concatenate([x, h], axis=-1)
     gates = jax.nn.sigmoid(
-        jnp.dot(xh, params["gate_kernel"], preferred_element_type=jnp.float32)
-        + params["gate_bias"]
-    )
+        acc_dot(xh, params["gate_kernel"]) + params["gate_bias"])
     r, u = jnp.split(gates, 2, axis=-1)
     xrh = jnp.concatenate([x, r * h], axis=-1)
-    c = jnp.tanh(
-        jnp.dot(xrh, params["cand_kernel"], preferred_element_type=jnp.float32)
-        + params["cand_bias"]
-    )
+    c = jnp.tanh(acc_dot(xrh, params["cand_kernel"]) + params["cand_bias"])
     return u * h + (1.0 - u) * c
 
 
@@ -245,7 +266,7 @@ def lstm_cell(params: Params, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndar
               forget_bias: float = 1.0) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     c, h = state
     xh = jnp.concatenate([x, h], axis=-1)
-    z = jnp.dot(xh, params["kernel"], preferred_element_type=jnp.float32) + params["bias"]
+    z = acc_dot(xh, params["kernel"]) + params["bias"]
     i, g, f, o = jnp.split(z, 4, axis=-1)
     new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
@@ -383,8 +404,8 @@ def bilstm_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
     deferred = z is not None
     if deferred:
         wh = jax.lax.stop_gradient(wh)
-    xz = jnp.einsum("gntc,gcz->gntz", x2.reshape(2, N, T, C), wx,
-                    preferred_element_type=jnp.float32) + b[:, None, None]
+    xz = acc_einsum("gntc,gcz->gntz", x2.reshape(2, N, T, C),
+                    wx) + b[:, None, None]
     xz = jnp.moveaxis(xz.reshape(2 * N, T, 4 * units), 1, 0)  # [T, 2N, 4H]
     mask = _mask_from_lengths(lengths, N, T)
     mask2 = None if mask is None else jnp.moveaxis(
@@ -393,8 +414,7 @@ def bilstm_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
     def step(state, inp):
         zt, mt, inj = inp
         c, h = state
-        hz = jnp.einsum("gnh,ghz->gnz", h.reshape(2, N, units), wh,
-                        preferred_element_type=jnp.float32)
+        hz = acc_einsum("gnh,ghz->gnz", h.reshape(2, N, units), wh)
         pre = zt + hz.reshape(2 * N, 4 * units)
         if inj is not None:
             pre = pre + inj
@@ -434,11 +454,9 @@ def bigru_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
     ch = jnp.stack([params_fw["cand_kernel"][C:], params_bw["cand_kernel"][C:]])
     cb = jnp.stack([params_fw["cand_bias"], params_bw["cand_bias"]])
     x4 = x2.reshape(2, N, T, C)
-    xg = (jnp.einsum("gntc,gcz->gntz", x4, gx,
-                     preferred_element_type=jnp.float32)
+    xg = (acc_einsum("gntc,gcz->gntz", x4, gx)
           + gb[:, None, None]).reshape(2 * N, T, 2 * units)
-    xc = (jnp.einsum("gntc,gcz->gntz", x4, cx,
-                     preferred_element_type=jnp.float32)
+    xc = (acc_einsum("gntc,gcz->gntz", x4, cx)
           + cb[:, None, None]).reshape(2 * N, T, units)
     xg = jnp.moveaxis(xg, 1, 0)
     xc = jnp.moveaxis(xc, 1, 0)
@@ -449,14 +467,12 @@ def bigru_rnn(params_fw: Params, params_bw: Params, x: jnp.ndarray,
     def step(h, inp):
         xgt, xct, mt = inp
         gates = jax.nn.sigmoid(
-            xgt + jnp.einsum("gnh,ghz->gnz", h.reshape(2, N, units), gh,
-                             preferred_element_type=jnp.float32
-                             ).reshape(2 * N, 2 * units))
+            xgt + acc_einsum("gnh,ghz->gnz", h.reshape(2, N, units),
+                             gh).reshape(2 * N, 2 * units))
         r, u = jnp.split(gates, 2, axis=-1)
         c = jnp.tanh(
-            xct + jnp.einsum("gnh,ghz->gnz", (r * h).reshape(2, N, units),
-                             ch, preferred_element_type=jnp.float32
-                             ).reshape(2 * N, units))
+            xct + acc_einsum("gnh,ghz->gnz", (r * h).reshape(2, N, units),
+                             ch).reshape(2 * N, units))
         new_h = u * h + (1.0 - u) * c
         out = new_h
         if mt is not None:
