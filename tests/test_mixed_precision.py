@@ -209,6 +209,36 @@ def test_bf16_wavenet_trains(rng):
     _assert_all_f32(state.opt_state, "opt_state")
 
 
+def test_bf16_checkpoint_serves(rng, tmp_path):
+    """A bf16-trained checkpoint must serve end-to-end: the decode runs
+    bf16, Griffin-Lim upcasts at the DSP boundary, the wav comes out
+    f32-finite. This is the boundary a dtype regression would break
+    first (jnp.fft rejects bf16)."""
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+    from nspeech_tpu.train import CheckpointManager
+
+    cfg = tiny_cfg("taco1", extra=",compute_dtype=bfloat16")
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+    step = build_tacotron_train_step(model, tx)
+    state = create_state(model, tx, jax.random.PRNGKey(0))
+    state, _ = step(state, make_batch(rng), jax.random.PRNGKey(0))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(int(state.step), state)
+    mgr.wait()
+    mgr.close()
+
+    cfg.parse("griffin_lim_iters=3")
+    synth = Synthesizer(cfg, text_bucket=16)
+    synth.load(ckpt_dir, "taco1")
+    wav, mel, lin = synth.synthesize("hello")
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.isfinite(np.asarray(wav, np.float32)).all()
+    assert np.isfinite(np.asarray(mel, np.float32)).all()
+
+
 def test_bf16_wavenet_logits_close_to_f32(rng):
     cfg = tiny_cfg("wavenet")
     net32 = WaveNet(cfg)
