@@ -239,6 +239,40 @@ def test_bf16_checkpoint_serves(rng, tmp_path):
     assert np.isfinite(np.asarray(mel, np.float32)).all()
 
 
+def test_bf16_aot_export_round_trip(tmp_path):
+    """AOT jax.export of a bf16-policy synthesizer: the artifact embeds
+    the bf16 program, loads with no model code, and reproduces the live
+    synthesizer's spectrograms bit-for-bit."""
+    import nspeech_tpu.config as config
+    from nspeech_tpu.serving.export import (ExportedSynthesizer,
+                                            export_synthesizer)
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+
+    cfg = config.load_config("taco1")
+    cfg.parse(
+        "batch_size=2,max_iters=3,encoder_cbhg_banks=1,post_cbhg_banks=1,"
+        "attention_dim=16,decoder_dim=16,embedding_dim=16,"
+        "griffin_lim_iters=2,compute_dtype=bfloat16")
+    cfg.encoder_prenet = [16, 16]
+    cfg.encoder_cbhg_bank_sizes = [16]
+    cfg.post_cbhg_bank_sizes = [80]
+    cfg.num_speakers = 1
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+    st = create_state(model, tx, jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, text_bucket=32)
+    synth.set_variables(st.params, st.bn_state, model=model)
+
+    wav0, mel0, lin0 = synth.synthesize("hello world")
+    out = export_synthesizer(synth, str(tmp_path / "art"), text_len=32,
+                             batch=1)
+    ex = ExportedSynthesizer(out)
+    wav1, mel1, lin1 = ex.synthesize("hello world")
+    np.testing.assert_array_equal(mel0, mel1)
+    np.testing.assert_array_equal(lin0, lin1)
+    assert np.isfinite(np.asarray(wav1, np.float32)).all()
+
+
 def test_bf16_wavenet_logits_close_to_f32(rng):
     cfg = tiny_cfg("wavenet")
     net32 = WaveNet(cfg)
