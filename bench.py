@@ -307,30 +307,19 @@ def _require_live_relay() -> None:
     This testbed reaches its one v5e through a localhost relay
     (JAX_PLATFORMS=axon); when the relay process is dead, jax's first
     device use blocks indefinitely rather than erroring, which would
-    turn a driver bench invocation into a silent timeout."""
-    import socket
+    turn a driver bench invocation into a silent timeout. Testbed
+    detection + probe live in nspeech_tpu.utils.relay (shared with
+    __graft_entry__); on hosts with no axon markers this is a no-op."""
+    from nspeech_tpu.utils.relay import RELAY_HOST, RELAY_PORT, relay_dead
 
-    # The sitecustomize can force the axon platform WITHOUT JAX_PLATFORMS
-    # being visible in the env, so detect the relay testbed by any of its
-    # markers rather than that one env var (a blocked jax.devices() is
-    # unrecoverable; the probe is skipped only on hosts with no axon trace).
-    axon_env = (os.environ.get("JAX_PLATFORMS", "") == "axon"
-                or any("AXON" in k for k in os.environ))
-    if not axon_env:
-        return
-    s = socket.socket()
-    s.settimeout(2)
-    try:
-        s.connect(("127.0.0.1", 8082))
-    except OSError as e:
+    if relay_dead():
         print(json.dumps({
             "metric": "taco2_train_mel_frames_per_sec_per_chip",
             "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
-            "error": "TPU relay unreachable (127.0.0.1:8082): %s" % e,
+            "error": "TPU relay unreachable (%s:%d): connection refused"
+                     % (RELAY_HOST, RELAY_PORT),
         }), flush=True)
         raise SystemExit(1)
-    finally:
-        s.close()
 
 
 def main() -> None:

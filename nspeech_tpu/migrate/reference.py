@@ -59,11 +59,21 @@ class ImportError_(ValueError):
     """Checkpoint does not look like a reference WaveNet."""
 
 
+def _is_optimizer_slot(name: str) -> bool:
+    """tf.train.AdamOptimizer slots: '<var>/Adam', '/Adam_1', plus the
+    beta power scalars — present in training checkpoints, never needed."""
+    return ("/Adam" in name or name.endswith("beta1_power")
+            or name.endswith("beta2_power"))
+
+
 def _tensors(src) -> Dict[str, np.ndarray]:
     if isinstance(src, str):
         src = TFBundleReader(src)
     if isinstance(src, TFBundleReader):
-        return src.as_dict()
+        # Skip optimizer slots BEFORE decoding: they are ~2x the model
+        # bytes and the pure-Python reader checksums every byte it reads.
+        return {name: src.get_tensor(name) for name in src.variable_names()
+                if not _is_optimizer_slot(name)}
     return dict(src)
 
 
@@ -79,14 +89,10 @@ def import_wavenet(src) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     :func:`check_dilations` validates the product.
     """
     tensors = _tensors(src)
-    # Drop reference-optimizer state up front (tf.train.AdamOptimizer slots
-    # live under the model scopes: '<var>/Adam', '<var>/Adam_1', plus the
-    # beta power scalars) — only model weights are imported.
-    tensors = {
-        name: arr for name, arr in tensors.items()
-        if "/Adam" not in name and not name.endswith("beta1_power")
-        and not name.endswith("beta2_power")
-    }
+    # Dict inputs may still carry optimizer state — drop it here too
+    # (reader inputs already skipped the slots before decoding).
+    tensors = {name: arr for name, arr in tensors.items()
+               if not _is_optimizer_slot(name)}
     if "wavenet/causal_layer/filter" not in tensors:
         raise ImportError_(
             "no 'wavenet/causal_layer/filter' — not a reference WaveNet "

@@ -226,16 +226,20 @@ def snappy_decompress(buf: bytes) -> bytes:
             continue
         if kind == 1:  # copy, 1-byte offset
             length = ((tag >> 2) & 7) + 4
-            if pos >= len(buf):
+            if pos + 1 > len(buf):
                 raise BundleError("truncated snappy copy1")
             offset = ((tag >> 5) << 8) | buf[pos]
             pos += 1
         elif kind == 2:  # copy, 2-byte offset
             length = (tag >> 2) + 1
+            if pos + 2 > len(buf):
+                raise BundleError("truncated snappy copy2")
             offset = int.from_bytes(buf[pos:pos + 2], "little")
             pos += 2
         else:  # copy, 4-byte offset
             length = (tag >> 2) + 1
+            if pos + 4 > len(buf):
+                raise BundleError("truncated snappy copy4")
             offset = int.from_bytes(buf[pos:pos + 4], "little")
             pos += 4
         if offset == 0 or offset > len(out):

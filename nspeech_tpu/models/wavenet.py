@@ -30,7 +30,7 @@ import numpy as np
 from nspeech_tpu.config import Config
 from nspeech_tpu.dsp.mulaw import mu_law_encode
 from nspeech_tpu.ops import policy as P
-from nspeech_tpu.ops.layers import glorot_uniform
+from nspeech_tpu.ops.layers import acc_einsum, glorot_uniform
 
 Params = Dict[str, Any]
 
@@ -149,10 +149,7 @@ class WaveNet:
             for k in range(fw):
                 seg = jax.lax.dynamic_slice_in_dim(
                     x, k * dilation, t_out, axis=1)
-                # f32 accumulation, compute-dtype result (ops/policy.py)
-                term = jnp.einsum("ntc,co->nto", seg, w[k],
-                                  preferred_element_type=jnp.float32
-                                  ).astype(x.dtype)
+                term = acc_einsum("ntc,co->nto", seg, w[k])
                 out = term if out is None else out + term
             return out
         # conv transpose rejects mixed-dtype cotangents — only request f32
@@ -226,10 +223,9 @@ class WaveNet:
         # the default config. sum_l out_l @ W_l == stack_l(out_l) @
         # concat_l(W_l): same FLOPs, one K=L*R contraction, accumulator
         # touched once.
-        skips = jnp.einsum(
+        skips = acc_einsum(
             "lnto,loc->ntc", jnp.stack(skip_outs),
-            jnp.stack([lp["skip"][0] for lp in params["layers"]]),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            jnp.stack([lp["skip"][0] for lp in params["layers"]]))
         if self.use_biases:
             skips = skips + sum(lp["skip_bias"] for lp in params["layers"])
 

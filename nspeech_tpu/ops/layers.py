@@ -45,9 +45,7 @@ def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
 
 
 def dense(params: Params, x: jnp.ndarray, activation=None) -> jnp.ndarray:
-    # f32 accumulation, compute-dtype result (see acc_dot below)
-    y = jnp.dot(x, params["kernel"],
-                preferred_element_type=jnp.float32).astype(x.dtype)
+    y = acc_dot(x, params["kernel"])
     if "bias" in params:
         y = y + params["bias"]
     return activation(y) if activation is not None else y

@@ -1,0 +1,58 @@
+"""Axon TPU-relay liveness detection, shared by every driver entry point.
+
+This testbed reaches its one v5e through a localhost byte relay
+(``JAX_PLATFORMS=axon``, relay process listening on 127.0.0.1:8082).
+When the relay process is dead, jax's first device use BLOCKS forever —
+the relayed backend init retries, it does not error — so anything that
+might touch ``jax.devices()`` must probe the port first and route to a
+CPU/virtual config (or fail fast) instead.
+
+Centralized here because ``bench.py`` and ``__graft_entry__`` both need
+the same two decisions and had started to drift:
+
+* :func:`on_axon_testbed` — are we plausibly on the relay testbed at
+  all?  On foreign hosts this is False and callers skip the probe
+  entirely, keeping real-accelerator paths working.
+* :func:`relay_dead` — testbed detected AND the port refuses.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+
+RELAY_HOST = "127.0.0.1"
+RELAY_PORT = 8082
+
+# The relay daemon script this testbed injects; its presence marks the
+# testbed even when sitecustomize forces the axon platform without any
+# env var being visible.
+_RELAY_SCRIPT = os.path.expanduser("~/.tpu_init.py")
+
+
+def on_axon_testbed() -> bool:
+    """True when any marker of the axon relay testbed is present."""
+    if "axon" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return True
+    return os.path.exists(_RELAY_SCRIPT)
+
+
+def port_refuses(host: str = RELAY_HOST, port: int = RELAY_PORT,
+                 timeout: float = 2.0) -> bool:
+    """True when nothing accepts on the relay port."""
+    s = socket.socket()
+    s.settimeout(timeout)
+    try:
+        s.connect((host, port))
+        return False
+    except OSError:
+        return True
+    finally:
+        s.close()
+
+
+def relay_dead() -> bool:
+    """True when this IS the axon testbed and its relay is unreachable
+    (``jax.devices()`` would block forever). False on foreign hosts —
+    callers may then use real devices normally."""
+    return on_axon_testbed() and port_refuses()

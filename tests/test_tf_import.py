@@ -216,6 +216,15 @@ def test_snappy_decompress_spec_vectors():
     assert snappy_decompress(comp) == b"ababababab"
     with pytest.raises(BundleError):
         snappy_decompress(bytes([4, ((6 - 4) << 2) | 1, 9]))  # bad offset
+    # Copies whose offset bytes are truncated must raise, not decode a
+    # partial little-endian offset into plausible garbage.
+    prefix = bytes([10, (2 - 1) << 2, ord("a"), ord("b")])
+    with pytest.raises(BundleError, match="truncated"):
+        snappy_decompress(prefix + bytes([(3 - 1) << 2 | 2, 2]))  # 1 of 2
+    with pytest.raises(BundleError, match="truncated"):
+        snappy_decompress(prefix + bytes([(3 - 1) << 2 | 3, 2, 0]))  # 2 of 4
+    with pytest.raises(BundleError, match="truncated"):
+        snappy_decompress(prefix + bytes([((6 - 4) << 2) | 1]))  # 0 of 1
 
 
 # ---------------------------------------------------------------------------
