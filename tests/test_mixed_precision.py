@@ -166,6 +166,31 @@ def test_bf16_train_step_keeps_f32_masters(name, rng):
     assert int(state.step) == 2
 
 
+def test_bf16_data_parallel_mesh_step(rng):
+    """bf16 policy under GSPMD: the sharded step runs on an 8-device
+    mesh, masters stay f32, loss matches the single-device step (the
+    policy's casts must not perturb sharding propagation)."""
+    from nspeech_tpu.parallel import make_mesh, shard_batch
+
+    cfg = tiny_cfg("taco1", extra=",compute_dtype=bfloat16,batch_size=8")
+    model = create_model("taco1", cfg)
+    tx, _ = make_optimizer(cfg, "taco1")
+    batch = make_batch(rng, n=8)
+
+    single = build_tacotron_train_step(model, tx)
+    st = create_state(model, tx, jax.random.PRNGKey(0))
+    _, m_single = single(st, batch, jax.random.PRNGKey(3))
+
+    mesh = make_mesh()
+    sharded = build_tacotron_train_step(model, tx, mesh=mesh)
+    st2 = create_state(model, tx, jax.random.PRNGKey(0))
+    st2, m_mesh = sharded(st2, shard_batch(batch, mesh), jax.random.PRNGKey(3))
+    assert np.isfinite(float(m_mesh["loss"]))
+    np.testing.assert_allclose(float(m_mesh["loss"]),
+                               float(m_single["loss"]), rtol=2e-2)
+    _assert_all_f32(st2.params, "params")
+
+
 def test_bf16_deferred_matches_nondeferred(rng):
     """Deferred-dW reassociates the dW accumulation; under bf16 the two
     paths share the identical forward (losses equal) and produce
