@@ -180,8 +180,23 @@ def export_gta(
                         (key,))
                 spk[b] = speaker2id[key]
             mels[b, : mel.shape[0]] = mel
-        out = np.asarray(fwd(jnp.asarray(ids), jnp.asarray(lengths),
-                             jnp.asarray(spk), jnp.asarray(mels)))
+        # One transient transport failure (e.g. a relayed-TPU compile RPC
+        # dropping mid-read) must not discard the whole export: retry the
+        # batch a few times before giving up. Programmatic errors (shape
+        # mismatches etc.) reproduce identically and still fail fast.
+        for attempt in range(3):
+            try:
+                out = np.asarray(fwd(jnp.asarray(ids), jnp.asarray(lengths),
+                                     jnp.asarray(spk), jnp.asarray(mels)))
+                break
+            except Exception as e:  # jax runtime / RPC errors share no base
+                if attempt == 2:
+                    raise
+                log("GTA: batch at %d failed (%s); retrying in %ds" %
+                    (start, e, 5 * (attempt + 1)))
+                import time as _time
+
+                _time.sleep(5 * (attempt + 1))
         for b, (idx, _seq, mel) in enumerate(chunk):
             wav_path = items[idx][0]
             path = gta_path(out_dir, wav_path)
