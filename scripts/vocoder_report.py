@@ -157,14 +157,31 @@ def main():
                     help="extra temperatures to score (metrics only)")
     ap.add_argument("--tf-window", type=int, default=4096,
                     help="teacher-forced scoring window (samples)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="sample through the lax.scan generator instead of "
+                         "the Pallas kernel: the same learned conditional "
+                         "(equivalence-tested on the argmax path; sampling "
+                         "draws its own RNG stream), slower samples/sec, "
+                         "but compile time independent of utterance length "
+                         "(the Pallas kernel compiles per exact sample "
+                         "count — minutes per novel length through a "
+                         "remote-compile relay)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    # Persistent XLA compile cache: the A/B flow runs this report once per
+    # vocoder arm with identical shapes — arms after the first must not
+    # re-pay the multi-minute sampling-kernel compiles.
+    from nspeech_tpu.utils.platform import set_platform
+
+    set_platform(None)
 
     from nspeech_tpu import dsp
     from nspeech_tpu.serving.pipeline import TextToSpeech, WaveNetVocoder
     from nspeech_tpu.serving.synthesizer import Synthesizer
 
-    voc = WaveNetVocoder.from_checkpoint(os.path.join(args.wavenet_run, "ckpt"))
+    voc = WaveNetVocoder.from_checkpoint(os.path.join(args.wavenet_run, "ckpt"),
+                                         use_pallas=not args.no_pallas)
     cfg = voc.cfg
     report = {"temperature": args.temperature}
 
