@@ -193,7 +193,18 @@ def pack_params(net, params, gc_ids: Optional[jnp.ndarray] = None):
 
 def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
                  temperature: float, deterministic: bool, use_lc: bool,
-                 use_gcside: bool, dtype=jnp.float32):
+                 use_gcside: bool, dtype=jnp.float32, carry_io: bool = False):
+    """``carry_io=True`` builds the STREAMING form: the cross-step state
+    (dilation rings, current one-hot, carried causal half) enters as
+    inputs and leaves as outputs, and ring slots are addressed by the
+    ABSOLUTE sample index ``t0 + chunk*LANE + i`` (t0 from SMEM), so
+    consecutive launches continue one generation exactly. The state
+    "outputs" double as the working buffers (constant index_map => the
+    buffer persists across the sequential grid and is flushed once), so
+    the streaming kernel body is the latency-optimized body unchanged —
+    zero extra on-chain cost. Priming is not supported with carry_io."""
+    if carry_io and prime_len:
+        raise ValueError("carry_io kernels do not support priming")
     L = len(net.dilations)
     dilations = list(net.dilations)
     R, DC, S, Q = (net.residual_channels, net.dilation_channels,
@@ -218,20 +229,25 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
     # the s/1 tail still lands on v's lanes (free when R == DC)
     ring_shift = (R - DC) % LANE
 
-    def kernel(seed_ref, forced_ref, lc_ref,
-               wcc_ref, wpre0_ref, ws_ref,
-               bskip_ref, post1_ref, post2_ref, b1_ref, b2_ref,
-               *rest):
+    def kernel(seed_ref, *args):
+        rest = list(args)
+        t0_ref = rest.pop(0) if carry_io else None
+        forced_ref, lc_ref = rest.pop(0), rest.pop(0)
+        (wcc_ref, wpre0_ref, ws_ref, bskip_ref, post1_ref, post2_ref,
+         b1_ref, b2_ref) = (rest.pop(0) for _ in range(8))
         chunk = pl.program_id(0)
-        rest = list(rest)
         gcside_ref = rest.pop(0) if use_gcside else None
         wlcs_ref = rest.pop(0) if use_lc else None
         wskip_ref = rest.pop(0) if not fuse_skip else None
+        if carry_io:
+            rings_in_ref, oh_in_ref, ccprev_in_ref = (rest.pop(0)
+                                                      for _ in range(3))
         out_ref, ring_ref, oh_cur_ref, ccprev_ref = rest[:4]
         rest = rest[4:]
         noise_ref = rest.pop(0) if use_noise else None
         lcproj_ref = rest.pop(0) if use_lc else None
         gated_ref = rest.pop(0) if not fuse_skip else None
+        t_base = t0_ref[0] if carry_io else 0
 
         q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
@@ -251,12 +267,19 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
         def _init():
             if not deterministic:
                 pltpu.prng_seed(seed_ref[0])
-            # rings start zeroed (the reference queues start zeroed,
-            # wavenet.py:499-531) with the constant-1 marker set
-            ring_ref[:] = jnp.zeros_like(ring_ref) + roll_if(e_one,
-                                                              ring_shift)
-            oh_cur_ref[:] = (q_iota == Q // 2).astype(dtype)
-            ccprev_ref[:] = jnp.zeros_like(ccprev_ref)
+            if carry_io:
+                # resume: state buffers are outputs; load the carried-in
+                # state once, then work in place for the whole launch
+                ring_ref[:] = rings_in_ref[:]
+                oh_cur_ref[:] = oh_in_ref[:]
+                ccprev_ref[:] = ccprev_in_ref[:]
+            else:
+                # rings start zeroed (the reference queues start zeroed,
+                # wavenet.py:499-531) with the constant-1 marker set
+                ring_ref[:] = jnp.zeros_like(ring_ref) + roll_if(e_one,
+                                                                 ring_shift)
+                oh_cur_ref[:] = (q_iota == Q // 2).astype(dtype)
+                ccprev_ref[:] = jnp.zeros_like(ccprev_ref)
 
         if use_lc:
             # Project the whole chunk's mel rows for every layer in one
@@ -323,7 +346,7 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
             # row live in the loop carry (vector registers): no per-step
             # VMEM round trips on the serial path.
             oh_cur, cc_prev, out_vec = carry
-            t = chunk * LANE + i
+            t = t_base + chunk * LANE + i
 
             # --- input one-hot ------------------------------------------
             if prime_len > 0:
@@ -432,31 +455,47 @@ def _make_kernel(net, batch: int, n_chunks: int, prime_len: int,
 
     n_weights = (8 + (1 if use_gcside else 0) + (1 if use_lc else 0)
                  + (0 if fuse_skip else 1))
+    state_shapes = [                       # carried generation state
+        ((total_rows_ring, B, LANE), jnp.float32),   # dilation rings
+        ((B, Q), dtype),                             # current one-hot
+        ((B, LANE), jnp.float32),                    # prev causal half
+    ]
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)     # unblocked: persists
     grid_spec = pl.GridSpec(
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # seed
+        ] + ([pl.BlockSpec(memory_space=pltpu.SMEM)]            # t0
+             if carry_io else []) + [
             pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM),                  # forced
+                         memory_space=pltpu.VMEM),              # forced
             pl.BlockSpec((1, LANE, B, M), lambda c: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),                  # lc mel
+                         memory_space=pltpu.VMEM),              # lc mel
         ] + [
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)
-        ],
-        out_specs=pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((total_rows_ring, B, LANE), jnp.float32),  # rings
-            pltpu.VMEM((B, Q), dtype),                    # current one-hot
-            pltpu.VMEM((B, LANE), jnp.float32),           # prev causal half
-        ] + ([pltpu.VMEM((LANE, Q), jnp.float32)]        # chunk Gumbel noise
+        ] + ([full] * 3 if carry_io else []),        # carried state in
+        out_specs=(pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   # state buffers ride as outputs in streaming form: the
+                   # constant index_map keeps them VMEM-resident across the
+                   # sequential grid and flushes them once at the end
+                   full, full, full) if carry_io
+        else pl.BlockSpec((1, B, LANE), lambda c: (c, 0, 0),
+                          memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [] if carry_io else
+            [pltpu.VMEM(s, d) for s, d in state_shapes]
+        ) + ([pltpu.VMEM((LANE, Q), jnp.float32)]    # chunk Gumbel noise
              if use_noise else [])
           + ([pltpu.VMEM((L * LANE, B,
                           LANE if wide_lc else 2 * DC), jnp.float32)]
              if use_lc else [])
           + ([] if fuse_skip else [pltpu.VMEM((B, L * DC), dtype)]),
     )
-    out_shape = jax.ShapeDtypeStruct((n_chunks, B, LANE), jnp.int32)
+    codes_shape = jax.ShapeDtypeStruct((n_chunks, B, LANE), jnp.int32)
+    out_shape = ((codes_shape,
+                  *(jax.ShapeDtypeStruct(s, d) for s, d in state_shapes))
+                 if carry_io else codes_shape)
     return kernel, grid_spec, out_shape
 
 
@@ -478,13 +517,15 @@ class PallasWaveNetGenerator:
         self._fns: dict = {}
 
     def _get_fn(self, batch: int, n_chunks: int, prime_len: int,
-                temperature: float, deterministic: bool, use_lc: bool):
-        key = (batch, n_chunks, prime_len, temperature, deterministic, use_lc)
+                temperature: float, deterministic: bool, use_lc: bool,
+                carry_io: bool = False):
+        key = (batch, n_chunks, prime_len, temperature, deterministic,
+               use_lc, carry_io)
         if key not in self._fns:
             kernel, grid_spec, out_shape = _make_kernel(
                 self.net, batch, n_chunks, prime_len, temperature,
                 deterministic, use_lc, "gcside" in self.packed,
-                dtype=self.dtype)
+                dtype=self.dtype, carry_io=carry_io)
             fn = pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
@@ -543,25 +584,103 @@ class PallasWaveNetGenerator:
         else:
             lc_mel = jnp.zeros((n_chunks, LANE, batch, 1), jnp.float32)
 
-        p = self.packed
-        # batch=1 gets the skip block fused into the layer matmul; batched
-        # runs get the chain-only matrices plus the stacked skip matmul
-        weight_args = [p["wcc"], p["wpre0"],
-                       p["ws"] if batch == 1 else p["ws_chain"],
-                       p["bskip"], p["post1"], p["post2"], p["b1"], p["b2"]]
-        if "gcside" in p:
-            weight_args.append(p["gcside"])
-        if use_lc:
-            weight_args.append(p["wlcs"])
-        if batch != 1:
-            weight_args.append(p["wskip"])
         out = fn(jnp.asarray([seed], jnp.int32), forced, lc_mel,
-                 *weight_args)
+                 *self._weight_args(batch, use_lc))
         codes = jnp.transpose(out, (1, 0, 2)).reshape(batch, n_chunks * LANE)
         # codes[:, t] is the prediction for time t+1 (same convention as the
         # scan generator): the first free sample sits at prime_len-1.
         start = max(prime_len - 1, 0)
         return codes[:, start: start + n_samples]
+
+    def _weight_args(self, batch: int, use_lc: bool):
+        p = self.packed
+        # batch=1 gets the skip block fused into the layer matmul; batched
+        # runs get the chain-only matrices plus the stacked skip matmul
+        args = [p["wcc"], p["wpre0"],
+                p["ws"] if batch == 1 else p["ws_chain"],
+                p["bskip"], p["post1"], p["post2"], p["b1"], p["b2"]]
+        if "gcside" in p:
+            args.append(p["gcside"])
+        if use_lc:
+            args.append(p["wlcs"])
+        if batch != 1:
+            args.append(p["wskip"])
+        return args
+
+    # -- chunked (streaming) generation: carried state across launches ------
+
+    def chunk_carry0(self, batch: int = 1):
+        """Initial carry for :meth:`generate_chunk`: ``(t0, rings, one_hot,
+        causal_half)`` — the exact VMEM state the one-shot kernel builds at
+        chunk 0 (zeroed rings with the constant-1 marker at v lane DC+2R,
+        mid-scale one-hot, zero causal half)."""
+        net = self.net
+        R, DC, Q = (net.residual_channels, net.dilation_channels,
+                    net.quantization_channels)
+        rows = int(sum(max(1, d) for d in net.dilations))
+        rings = np.zeros((rows, batch, LANE), np.float32)
+        rings[:, :, (DC + 2 * R) % LANE] = 1.0
+        oh = jnp.zeros((batch, Q), self.dtype).at[:, Q // 2].set(1.0)
+        return (0, jnp.asarray(rings), oh,
+                jnp.zeros((batch, LANE), jnp.float32))
+
+    def generate_chunk(self, carry, n_samples: int, seed: int = 0,
+                       lc: Optional[jnp.ndarray] = None,
+                       temperature: float = 1.0,
+                       deterministic: bool = False, final: bool = False):
+        """Continue a generation: run ``n_samples`` steps from ``carry``
+        and return ``(codes [B, n_samples], new_carry)``.
+
+        The kernel always advances in LANE-sample chunks, so ``n_samples``
+        must be a multiple of LANE — except with ``final=True``, where the
+        launch rounds UP to the next multiple (overshoot steps see the
+        edge-held last lc row), the overshoot codes are discarded, and the
+        returned carry is None (the stream has ended; the state has
+        advanced past ``n_samples``). Concatenated aligned chunks followed
+        by one final chunk reproduce the one-shot :meth:`__call__` exactly
+        at ``deterministic=True`` (tested). At temperature>0 each launch
+        draws fresh Gumbel noise from ``seed`` — pass a per-launch seed
+        (e.g. ``base_seed + t0``) for non-repeating sampling noise.
+        """
+        t0, rings, oh, ccprev = carry
+        batch = oh.shape[0]
+        # match the scan generator's contract: temperature <= 0 is argmax
+        deterministic = deterministic or temperature <= 0.0
+        if n_samples % LANE and not final:
+            raise ValueError(
+                f"chunked generation advances in multiples of {LANE} "
+                f"samples (got {n_samples}); pass final=True for the last "
+                "partial chunk")
+        use_lc = lc is not None
+        if use_lc and not self.net.lc_channels:
+            raise ValueError("model has lc_channels=0; cannot condition")
+        if self.net.lc_channels and not use_lc:
+            raise ValueError("locally-conditioned model needs lc=")
+        n_chunks = _round_up(max(n_samples, 1), LANE) // LANE
+        fn = self._get_fn(batch, n_chunks, 0, temperature, deterministic,
+                          use_lc, carry_io=True)
+        forced = jnp.zeros((n_chunks, batch, LANE), jnp.int32)
+        if use_lc:
+            lc = jnp.asarray(lc, jnp.float32)
+            if lc.shape[1] < n_chunks * LANE:   # final-chunk edge hold
+                lc = jnp.concatenate(
+                    [lc, jnp.repeat(lc[:, -1:],
+                                    n_chunks * LANE - lc.shape[1], axis=1)],
+                    axis=1)
+            lc_mel = jnp.transpose(
+                lc[:, : n_chunks * LANE], (1, 0, 2)).reshape(
+                    n_chunks, LANE, batch, self.net.lc_channels)
+        else:
+            lc_mel = jnp.zeros((n_chunks, LANE, batch, 1), jnp.float32)
+        codes, rings, oh, ccprev = fn(
+            jnp.asarray([seed], jnp.int32), jnp.asarray([t0], jnp.int32),
+            forced, lc_mel, *self._weight_args(batch, use_lc),
+            rings, oh, ccprev)
+        codes = jnp.transpose(codes, (1, 0, 2)).reshape(batch,
+                                                        n_chunks * LANE)
+        if final:
+            return codes[:, :n_samples], None
+        return codes, (int(t0) + n_chunks * LANE, rings, oh, ccprev)
 
 
 def generate_pallas(

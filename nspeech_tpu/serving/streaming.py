@@ -46,20 +46,21 @@ from nspeech_tpu.text import text_to_sequence
 from nspeech_tpu.text.symbols import PAD_ID
 
 
-def _upsample_abs(window: jnp.ndarray, a: jnp.ndarray, hop: int,
-                  length: int, total_frames: jnp.ndarray) -> jnp.ndarray:
-    """Upsample mel ``window`` [N, K+1, M] (frames a .. a+K) to samples
-    [a*hop, a*hop+length) using the SAME float arithmetic as
+def _upsample_abs(window: jnp.ndarray, f0: jnp.ndarray, s0: jnp.ndarray,
+                  hop: int, length: int,
+                  total_frames: jnp.ndarray) -> jnp.ndarray:
+    """Upsample mel ``window`` [N, W, M] (frames f0 .. f0+W-1) to samples
+    [s0, s0+length) using the SAME float arithmetic as
     ``upsample_on_device`` over the full utterance: positions are
     ABSOLUTE sample indices divided by hop, and the frame clip uses the
     utterance total — so chunked lc equals sliced one-shot lc bit for
-    bit (ops/upsample.py:23-32)."""
-    pos = (a * hop + jnp.arange(length)) / hop
+    bit (ops/upsample.py:23-32). ``s0`` need not be frame-aligned."""
+    pos = (s0 + jnp.arange(length)) / hop
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, total_frames - 1)
     i1 = jnp.clip(i0 + 1, 0, total_frames - 1)
     w = (pos - i0.astype(jnp.float32))[None, :, None]
-    lo = jnp.take(window, i0 - a, axis=1)
-    hi = jnp.take(window, i1 - a, axis=1)
+    lo = jnp.take(window, i0 - f0, axis=1)
+    hi = jnp.take(window, i1 - f0, axis=1)
     return lo * (1.0 - w) + hi * w
 
 
@@ -74,7 +75,8 @@ class StreamingTTS:
     """
 
     def __init__(self, synth, vocoder, chunk_frames: int = 40,
-                 temperature: float = 1.0, text_bucket: int = 32):
+                 temperature: float = 1.0, text_bucket: int = 32,
+                 use_pallas: Optional[bool] = None):
         if vocoder is None or vocoder.net is None:
             raise ValueError("StreamingTTS requires a loaded WaveNet "
                              "vocoder (Griffin-Lim cannot be streamed)")
@@ -117,6 +119,26 @@ class StreamingTTS:
             self.k = self._buf_frames
             self._k_steps = self.k // r
         self._whole_postnet = self._buf_frames < self.k + 2 * self._halo
+        # Vocoder backend: the Pallas streaming kernel sustains ~5x real
+        # time on the chip where the lax.scan generator is ~0.7x; it
+        # advances in 128-sample launches, so the vocoder runs on its own
+        # SAMPLE cursor decoupled from the mel-frame cursor (the final
+        # launch overshoots into edge-held lc and the overshoot is
+        # discarded — causality makes it invisible to the kept samples).
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and not self.net.scalar_input
+                          and self.net.filter_width == 2)
+        self._use_pallas = use_pallas
+        self._pallas_gens: dict = {}   # gc key -> PallasWaveNetGenerator
+        self._pallas_vocs: dict = {}   # generator -> fused launch program
+        if use_pallas:
+            from nspeech_tpu.ops.pallas.wavenet_gen import LANE
+
+            self._V = max(LANE, self.k * self._hop // LANE * LANE)
+        else:
+            self._V = self.k * self._hop
+        self._W = self._V // self._hop + 3   # static lc window frames
         self._jit_programs()
 
     # -- jitted chunk programs (compiled once per text bucket) ---------------
@@ -157,18 +179,67 @@ class StreamingTTS:
                 mel = window
             return jax.lax.dynamic_slice_in_dim(mel, crop, k, axis=1)
 
-        @jax.jit
-        def voc_chunk(carry, mel_window, a, total_frames, gc_ids):
-            lc = _upsample_abs(mel_window, a, hop, k * hop, total_frames)
-            codes, carry = self.net.generate_chunk(
-                self._vparams, carry, k * hop, jax.random.PRNGKey(0),
-                gc_ids=gc_ids, lc=lc, temperature=self._temperature)
-            from nspeech_tpu.dsp import mu_law_decode
+        from nspeech_tpu.dsp import mu_law_decode
 
+        V = self._V
+
+        @jax.jit
+        def voc_chunk(carry, mel_window, f0, s0, total_frames, gc_ids):
+            lc = _upsample_abs(mel_window, f0, s0, hop, V, total_frames)
+            codes, carry = self.net.generate_chunk(
+                self._vparams, carry, V, jax.random.PRNGKey(0),
+                gc_ids=gc_ids, lc=lc, temperature=self._temperature)
             return mu_law_decode(codes, self.net.quantization_channels), carry
 
         self._start, self._dec_chunk = start, dec_chunk
         self._mel_chunk, self._voc_chunk = mel_chunk, voc_chunk
+
+    def _pallas_gen(self, speaker_id: int):
+        """Pallas streaming generator, params packed per gc key."""
+        key = speaker_id if (speaker_id >= 0 and self.net.gc_channels) \
+            else None
+        if key not in self._pallas_gens:
+            from nspeech_tpu.ops.pallas.wavenet_gen import (
+                PallasWaveNetGenerator)
+
+            gc = (jnp.asarray([key], jnp.int32) if key is not None else None)
+            self._pallas_gens[key] = PallasWaveNetGenerator(
+                self.net, self._vparams, gc_ids=gc)
+        return self._pallas_gens[key]
+
+    def _pallas_voc(self, speaker_id: int):
+        """ONE jitted program per launch: lc upsample -> streaming kernel
+        -> mu-law decode. Composing through generate_chunk instead would
+        eagerly dispatch the lc layout transforms and the decode per
+        launch — several extra device round trips that dominate on a
+        remote-relay chip."""
+        gen = self._pallas_gen(speaker_id)
+        key = id(gen)
+        if key not in self._pallas_vocs:
+            from nspeech_tpu.dsp import mu_law_decode
+            from nspeech_tpu.ops.pallas.wavenet_gen import LANE
+
+            V, hop, M = self._V, self._hop, self.net.lc_channels
+            n_chunks = V // LANE
+            deterministic = self._temperature <= 0.0
+            fn = gen._get_fn(1, n_chunks, 0, self._temperature,
+                             deterministic, True, carry_io=True)
+            wargs = gen._weight_args(1, True)
+            forced = jnp.zeros((n_chunks, 1, LANE), jnp.int32)
+            Q = self.net.quantization_channels
+
+            @jax.jit
+            def voc(rings, oh, cc, window, f0, s0, t0, total, seed):
+                lc = _upsample_abs(window, f0, s0, hop, V, total)
+                lc_mel = jnp.transpose(lc, (1, 0, 2)).reshape(
+                    n_chunks, LANE, 1, M)
+                codes, rings, oh, cc = fn(seed, t0, forced, lc_mel,
+                                          *wargs, rings, oh, cc)
+                codes = jnp.transpose(codes, (1, 0, 2)).reshape(1, V)
+                return mu_law_decode(codes, Q), rings, oh, cc
+
+            self._pallas_vocs[key] = voc
+        return self._pallas_vocs[key]
 
     # -- host pipeline --------------------------------------------------------
 
@@ -199,8 +270,14 @@ class StreamingTTS:
 
         mel = np.zeros((B, cfg.num_mels), np.float32)   # postnet'ed frames
         mel_head = 0
-        voc_carry = self.net.generate_carry0(batch=1)
-        a = 0                          # next frame to vocode
+        use_pallas = self._use_pallas
+        if use_pallas:
+            pvoc = self._pallas_voc(speaker_id)
+            voc_carry = self._pallas_gen(speaker_id).chunk_carry0(1)
+        else:
+            voc_carry = self.net.generate_carry0(batch=1)
+        V, W, hop = self._V, self._W, self._hop
+        s = 0                          # next SAMPLE to vocode
         total: Optional[int] = None    # utterance frames, once known
 
         def mel_ready(upto):
@@ -224,31 +301,68 @@ class StreamingTTS:
                 mel_head = b + n
 
         def vocode_next(final_total):
-            """Vocode frames [a, a+k); returns the wav chunk."""
-            nonlocal a, voc_carry
-            mel_ready(min(a + k + 1, final_total or a + k + 1, B))
-            win = np.zeros((k + 1, cfg.num_mels), np.float32)
-            avail = min(a + k + 1, mel_head) - a
-            win[:avail] = mel[a: a + avail]
-            if avail < k + 1 and avail > 0:   # edge-hold replication
+            """Vocode samples [s, s+V); returns the wav chunk."""
+            nonlocal s, voc_carry
+            f0 = s // hop
+            fe = (s + V) // hop + 2        # highest frame row touched
+            mel_ready(min(fe + 1,
+                          final_total if final_total is not None else B, B))
+            win = np.zeros((W, cfg.num_mels), np.float32)
+            avail = min(f0 + W, mel_head) - f0
+            win[:avail] = mel[f0: f0 + avail]
+            if avail < W and avail > 0:       # edge-hold replication
                 win[avail:] = win[avail - 1]
-            clip_total = final_total if final_total is not None \
-                else a + k + 1
-            wav, voc_carry = self._voc_chunk(
-                voc_carry, jnp.asarray(win[None]),
-                jnp.asarray(a, jnp.int32),
-                jnp.asarray(clip_total, jnp.int32), gc)
-            a += k
-            return np.asarray(wav)[0]
+            # a non-binding clip equals the one-shot's (its total never
+            # binds this far from the end); the true total binds the tail
+            clip_total = final_total if final_total is not None else fe + 2
+            if use_pallas:
+                t0, rings, oh, cc = voc_carry
+                wav, rings, oh, cc = pvoc(
+                    rings, oh, cc, jnp.asarray(win[None]),
+                    jnp.asarray(f0, jnp.int32), jnp.asarray(s, jnp.int32),
+                    jnp.asarray([t0], jnp.int32),
+                    jnp.asarray(clip_total, jnp.int32),
+                    jnp.asarray([s], jnp.int32))
+                voc_carry = (t0 + V, rings, oh, cc)
+            else:
+                wav, voc_carry = self._voc_chunk(
+                    voc_carry, jnp.asarray(win[None]),
+                    jnp.asarray(f0, jnp.int32), jnp.asarray(s, jnp.int32),
+                    jnp.asarray(clip_total, jnp.int32), gc)
+            s += V
+            return wav       # device array [1, V]; pulled by deliver()
+
+        # Launch pipelining: chunk i's host pull rides under chunk i+1's
+        # device time. The FIRST chunk is pulled immediately (time to
+        # first audio); later chunks are held one dispatch and delivered
+        # when the next launch is in flight.
+        pending = None                 # (device wav, chunk start sample)
+        first_sent = False
+
+        def deliver(item):
+            dev, s0 = item
+            wav = np.asarray(dev)[0]
+            if total is not None:      # final chunk: trim the overshoot
+                wav = wav[: total * hop - s0]
+            return wav
 
         budget = cfg.max_iters
         while True:
             finished = bool(np.asarray(carry[3]).all())
             if finished or steps_done >= budget:
                 break
-            # emit every chunk whose exactness window is decoded
-            while head >= a + 2 * k + halo:
-                yield vocode_next(None)
+            # emit every chunk whose exactness window is decoded: the lc
+            # window needs postnet'ed rows through (s+V)//hop + 2, and
+            # postnet'ing row b needs decoded rows through b + k + halo
+            while head >= min((s + V) // hop + 3 + k + halo, B):
+                item = (vocode_next(None), s - V)   # s advanced inside
+                if not first_sent:
+                    first_sent = True
+                    yield deliver(item)             # first audio: no hold
+                else:
+                    if pending is not None:
+                        yield deliver(pending)
+                    pending = item
             outs, carry = self._dec_chunk(ctx, carry)
             got = np.asarray(D.assemble_outputs(outs, cfg.num_mels))[0]
             n = min(got.shape[0], B - head)  # budget overshoot frames do
@@ -258,9 +372,18 @@ class StreamingTTS:
             steps_done += self._k_steps
 
         total = int(min(np.asarray(carry[4])[0], budget)) * r
-        while a < total:
-            chunk = vocode_next(total)
-            yield chunk[: (total - a + k) * self._hop]  # a already advanced
+        samples_total = total * hop
+        while s < samples_total:
+            item = (vocode_next(total), s - V)      # s advanced inside
+            if not first_sent:
+                first_sent = True
+                yield deliver(item)
+            else:
+                if pending is not None:
+                    yield deliver(pending)
+                pending = item
+        if pending is not None:
+            yield deliver(pending)
         # inspection hook (tests assert it equals the one-shot postnet
         # output over the voiced frames)
         self.last_mel = mel[:total].copy()

@@ -174,3 +174,81 @@ def test_pallas_unequal_residual_dilation_channels():
                                             deterministic=True,
                                             interpret=True))
     np.testing.assert_array_equal(scan_out, pallas_out)
+
+
+def test_pallas_chunked_matches_one_shot():
+    """Carried-state launches (serving/streaming.py's vocoder backend):
+    two aligned 128-sample chunks + one final partial chunk reproduce the
+    one-shot kernel exactly — rings/one-hot/causal-half survive the launch
+    boundary and ring slots use the absolute sample index."""
+    from nspeech_tpu.ops.pallas.wavenet_gen import PallasWaveNetGenerator
+
+    rng = np.random.default_rng(7)
+    net = tiny_net("lc_channels=5,dilations_length=4")  # dilations to 8
+    params = net.init(jax.random.PRNGKey(0))
+    n = 300                                   # 2 x 128 + final 44
+    lc = jnp.array(rng.random((1, n, 5)), jnp.float32)
+    gen = PallasWaveNetGenerator(net, params, interpret=True)
+    ref = np.asarray(gen(n, lc=lc, deterministic=True))
+    carry = gen.chunk_carry0(1)
+    c1, carry = gen.generate_chunk(carry, 128, lc=lc[:, :128],
+                                   deterministic=True)
+    assert carry[0] == 128
+    c2, carry = gen.generate_chunk(carry, 128, lc=lc[:, 128:256],
+                                   deterministic=True)
+    c3, carry = gen.generate_chunk(carry, 44, lc=lc[:, 256:],
+                                   deterministic=True, final=True)
+    assert carry is None                      # final launch ends the stream
+    got = np.concatenate([np.asarray(c) for c in (c1, c2, c3)], axis=1)
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_pallas_chunked_rejects_unaligned():
+    from nspeech_tpu.ops.pallas.wavenet_gen import PallasWaveNetGenerator
+
+    net = tiny_net()
+    params = net.init(jax.random.PRNGKey(0))
+    gen = PallasWaveNetGenerator(net, params, interpret=True)
+    with pytest.raises(ValueError, match="multiples of 128"):
+        gen.generate_chunk(gen.chunk_carry0(1), 100)
+
+
+def test_streaming_pallas_backend_matches_scan(monkeypatch):
+    """StreamingTTS with the Pallas vocoder backend (interpret mode on CPU)
+    produces the same waveform as the scan backend at temperature 0 — the
+    sample-cursor orchestration and the lc windows are backend-invariant."""
+    import nspeech_tpu.ops.pallas.wavenet_gen as wg
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.serving.pipeline import WaveNetVocoder
+    from nspeech_tpu.serving.streaming import StreamingTTS
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+    from nspeech_tpu.config import load_config
+
+    cfg = load_config("taco2")
+    cfg.parse("max_iters=24,encoder_conv_layers=1,postnet_conv_layers=2,"
+              "expand_conv_layers=1,encoder_conv_channels=16,"
+              "attention_dim=16,postnet_conv_channels=16,"
+              "expand_conv_channels=16,decoder_lstm_units=32,"
+              "encoder_lstm_units=16,expand_lstm_units=16,embedding_dim=16")
+    model = create_model("taco2", cfg)
+    params, bn = model.init(jax.random.PRNGKey(0))
+    syn = Synthesizer(cfg, text_bucket=16).set_variables(params, bn,
+                                                         model=model)
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=%d" % cfg.num_mels)
+    net = WaveNet(vcfg)
+    voc = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, net.init(jax.random.PRNGKey(1)))
+
+    orig = wg.PallasWaveNetGenerator
+    monkeypatch.setattr(
+        wg, "PallasWaveNetGenerator",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    text = "streaming backends agree."
+    ref = StreamingTTS(syn, voc, chunk_frames=8, temperature=0.0,
+                       use_pallas=False).synthesize(text)
+    got = StreamingTTS(syn, voc, chunk_frames=8, temperature=0.0,
+                       use_pallas=True).synthesize(text)
+    np.testing.assert_array_equal(ref, got)
