@@ -558,6 +558,8 @@ class PallasWaveNetGenerator:
         if use_lc and lc.shape[0] != batch:
             raise ValueError(
                 f"lc batch {lc.shape[0]} != generation batch {batch}")
+        # match the scan generator's contract: temperature <= 0 is argmax
+        deterministic = deterministic or temperature <= 0.0
 
         prime_len = 0 if seed_codes is None else int(seed_codes.shape[1])
         total = prime_len + n_samples

@@ -26,6 +26,15 @@ Griffin-Lim is deliberately NOT streamed: its iteration is global over
 the utterance. Streaming requires the (causal) WaveNet vocoder — the
 production configuration.
 
+On TPU the vocoder stage runs the Pallas generation kernel with carried
+state (ops/pallas/wavenet_gen.py generate_chunk) in 128-aligned
+launches on a SAMPLE cursor, fusing lc-upsample -> kernel -> mu-law
+into one program per launch and pipelining chunk i's host pull under
+launch i+1. Exactness there is at the mu-law CODE level (bit-identical
+to the one-shot vocode over a full trained utterance, verified on
+chip); the final float mu-law expansion can differ by 1 ulp because it
+compiles in a different jit context than the one-shot path's.
+
 No reference counterpart: the reference synthesizes whole utterances
 only (neural_speech/synthesizer.py; demo_server.py waits for the full
 wav). This is TPU-native serving design: static-shape chunk programs,
