@@ -203,26 +203,27 @@ class StreamingTTS:
         self._start, self._dec_chunk = start, dec_chunk
         self._mel_chunk, self._voc_chunk = mel_chunk, voc_chunk
 
-    def _pallas_gen(self, speaker_id: int):
-        """Pallas streaming generator, params packed per gc key."""
-        key = speaker_id if (speaker_id >= 0 and self.net.gc_channels) \
-            else None
-        if key not in self._pallas_gens:
+    def _pallas_gen(self, gc_key, batch: int):
+        """Pallas streaming generator, params packed per gc-ids key
+        (``gc_key``: None for unconditioned, else a tuple of per-stream
+        speaker ids)."""
+        if (gc_key, batch) not in self._pallas_gens:
             from nspeech_tpu.ops.pallas.wavenet_gen import (
                 PallasWaveNetGenerator)
 
-            gc = (jnp.asarray([key], jnp.int32) if key is not None else None)
-            self._pallas_gens[key] = PallasWaveNetGenerator(
+            gc = (jnp.asarray(gc_key, jnp.int32)
+                  if gc_key is not None else None)
+            self._pallas_gens[(gc_key, batch)] = PallasWaveNetGenerator(
                 self.net, self._vparams, gc_ids=gc)
-        return self._pallas_gens[key]
+        return self._pallas_gens[(gc_key, batch)]
 
-    def _pallas_voc(self, speaker_id: int):
+    def _pallas_voc(self, gc_key, batch: int):
         """ONE jitted program per launch: lc upsample -> streaming kernel
         -> mu-law decode. Composing through generate_chunk instead would
         eagerly dispatch the lc layout transforms and the decode per
         launch — several extra device round trips that dominate on a
         remote-relay chip."""
-        gen = self._pallas_gen(speaker_id)
+        gen = self._pallas_gen(gc_key, batch)
         key = id(gen)
         if key not in self._pallas_vocs:
             from nspeech_tpu.dsp import mu_law_decode
@@ -231,20 +232,20 @@ class StreamingTTS:
             V, hop, M = self._V, self._hop, self.net.lc_channels
             n_chunks = V // LANE
             deterministic = self._temperature <= 0.0
-            fn = gen._get_fn(1, n_chunks, 0, self._temperature,
+            fn = gen._get_fn(batch, n_chunks, 0, self._temperature,
                              deterministic, True, carry_io=True)
-            wargs = gen._weight_args(1, True)
-            forced = jnp.zeros((n_chunks, 1, LANE), jnp.int32)
+            wargs = gen._weight_args(batch, True)
+            forced = jnp.zeros((n_chunks, batch, LANE), jnp.int32)
             Q = self.net.quantization_channels
 
             @jax.jit
             def voc(rings, oh, cc, window, f0, s0, t0, total, seed):
                 lc = _upsample_abs(window, f0, s0, hop, V, total)
                 lc_mel = jnp.transpose(lc, (1, 0, 2)).reshape(
-                    n_chunks, LANE, 1, M)
+                    n_chunks, LANE, batch, M)
                 codes, rings, oh, cc = fn(seed, t0, forced, lc_mel,
                                           *wargs, rings, oh, cc)
-                codes = jnp.transpose(codes, (1, 0, 2)).reshape(1, V)
+                codes = jnp.transpose(codes, (1, 0, 2)).reshape(batch, V)
                 return mu_law_decode(codes, Q), rings, oh, cc
 
             self._pallas_vocs[key] = voc
@@ -254,40 +255,89 @@ class StreamingTTS:
 
     def stream(self, text: str, speaker_id: int = -1
                ) -> Iterator[np.ndarray]:
-        """Yield waveform chunks (float32, ``chunk_frames * hop`` samples
-        each; final chunk trimmed to the utterance's stop frame)."""
+        """Yield waveform chunks (float32; the final chunk trimmed to the
+        utterance's stop frame). Single-stream form of
+        :meth:`stream_batch`."""
+        for chunks in self.stream_batch([text], [speaker_id]):
+            if chunks[0] is not None and len(chunks[0]):
+                yield chunks[0]
+
+    def stream_batch(self, texts, speaker_ids=None):
+        """Stream N utterances CONCURRENTLY through one batched pipeline.
+
+        Yields lists aligned with ``texts``: element i is stream i's next
+        waveform chunk (float32), or None when stream i has no samples
+        this round (it already ended — streams stop at their own stop
+        frame while the batch keeps going for the longest one). The
+        decoder, postnet, and vocoder all advance in lockstep as single
+        batched programs — on TPU the vocoder is ONE carried-state Pallas
+        launch per chunk for all N streams (batch rides the sublane
+        dimension, so N streams cost barely more wall-clock per step than
+        one; see ops/pallas/wavenet_gen.py).
+
+        Per-stream trimming follows the decoder's stop frames; the shared
+        lc frame clip is the batch maximum, matching the one-shot
+        ``synthesize_batch``/``vocode_batch`` padding semantics
+        (pipeline.py:170-206).
+        """
         from nspeech_tpu.data.feeder import round_up
 
         cfg, r, k, halo = self.cfg, self.cfg.outputs_per_step, self.k, \
             self._halo
-        seq = text_to_sequence(text, self._cleaners)
-        padded = round_up(max(len(seq), 1), self._bucket)
-        ids = np.full((1, padded), PAD_ID, np.int32)
-        ids[0, : len(seq)] = seq
-        lengths = jnp.asarray([len(seq)], jnp.int32)
-        spk = jnp.asarray([max(speaker_id, 0)], jnp.int32)
+        N = len(texts)
+        if speaker_ids is None:
+            speaker_ids = [-1] * N
+        seqs = [text_to_sequence(t, self._cleaners) for t in texts]
+        padded = round_up(max(max(len(sq) for sq in seqs), 1), self._bucket)
+        ids = np.full((N, padded), PAD_ID, np.int32)
+        for i, sq in enumerate(seqs):
+            ids[i, : len(sq)] = sq
+        lengths = jnp.asarray([len(sq) for sq in seqs], jnp.int32)
+        spk = jnp.asarray([max(s, 0) for s in speaker_ids], jnp.int32)
 
-        gc = (jnp.asarray([speaker_id], jnp.int32)
-              if speaker_id >= 0 and self.net.gc_channels else None)
+        gc = None
+        gc_key = None
+        if self.net.gc_channels:
+            missing = [s is None or s < 0 for s in speaker_ids]
+            if any(missing) and not all(missing):
+                from nspeech_tpu.serving.errors import ClientError
+
+                raise ClientError(
+                    "stream_batch: cannot mix explicit speaker_ids and "
+                    "-1/None (unconditioned) in one vocoder batch")
+            if not any(missing):
+                gc_key = tuple(int(s) for s in speaker_ids)
+                gc = jnp.asarray(gc_key, jnp.int32)
 
         ctx, out0, carry = self._start(jnp.asarray(ids), lengths, spk)
         B = self._buf_frames           # the one-shot postnet input size
-        dec = np.zeros((B, cfg.num_mels), np.float32)   # decode buffer
-        dec[:r] = np.asarray(D.assemble_outputs(out0[None], cfg.num_mels))[0]
-        head = r                       # decoded frames so far
+        dec = np.zeros((N, B, cfg.num_mels), np.float32)  # decode buffer
+        dec[:, :r] = np.asarray(D.assemble_outputs(out0[None],
+                                                   cfg.num_mels))
+        head = r                       # decoded frames so far (lockstep)
         steps_done = 1
 
-        mel = np.zeros((B, cfg.num_mels), np.float32)   # postnet'ed frames
+        mel = np.zeros((N, B, cfg.num_mels), np.float32)  # postnet'ed
         mel_head = 0
         use_pallas = self._use_pallas
         if use_pallas:
-            pvoc = self._pallas_voc(speaker_id)
-            voc_carry = self._pallas_gen(speaker_id).chunk_carry0(1)
+            pvoc = self._pallas_voc(gc_key, N)
+            voc_carry = self._pallas_gen(gc_key, N).chunk_carry0(N)
         else:
-            voc_carry = self.net.generate_carry0(batch=1)
+            voc_carry = self.net.generate_carry0(batch=N)
         V, W, hop = self._V, self._W, self._hop
-        s = 0                          # next SAMPLE to vocode
-        total: Optional[int] = None    # utterance frames, once known
+        s = 0                          # next SAMPLE to vocode (lockstep)
+        budget = cfg.max_iters
+        # per-stream frame totals, known once that row's stop frame fires
+        row_done = np.zeros((N,), bool)
+        row_total = np.full((N,), B, np.int64)
+        total_max: Optional[int] = None   # batch frame total, once known
+
+        def pull_stops():
+            nonlocal row_done, row_total
+            row_done = np.asarray(carry[3]).astype(bool)
+            stops = np.minimum(np.asarray(carry[4]), budget)
+            row_total = np.where(row_done, stops * r, B)
 
         def mel_ready(upto):
             """Extend the postnet'ed mel to cover frames [0, upto).
@@ -302,32 +352,34 @@ class StreamingTTS:
                     w0, win = 0, dec
                 else:
                     w0 = min(max(b - halo, 0), B - (k + 2 * halo))
-                    win = dec[w0: w0 + k + 2 * halo]
-                out = self._mel_chunk(jnp.asarray(win[None]),
+                    win = dec[:, w0: w0 + k + 2 * halo]
+                out = self._mel_chunk(jnp.asarray(win),
                                       jnp.asarray(b - w0, jnp.int32))
                 n = min(k, B - b)
-                mel[b: b + n] = np.asarray(out)[0, :n]
+                mel[:, b: b + n] = np.asarray(out)[:, :n]
                 mel_head = b + n
 
-        def vocode_next(final_total):
-            """Vocode samples [s, s+V); returns the wav chunk."""
+        def vocode_next():
+            """Vocode samples [s, s+V) for all streams; device [N, V]."""
             nonlocal s, voc_carry
             f0 = s // hop
             fe = (s + V) // hop + 2        # highest frame row touched
             mel_ready(min(fe + 1,
-                          final_total if final_total is not None else B, B))
-            win = np.zeros((W, cfg.num_mels), np.float32)
+                          total_max if total_max is not None else B, B))
+            win = np.zeros((N, W, cfg.num_mels), np.float32)
             avail = min(f0 + W, mel_head) - f0
-            win[:avail] = mel[f0: f0 + avail]
+            win[:, :avail] = mel[:, f0: f0 + avail]
             if avail < W and avail > 0:       # edge-hold replication
-                win[avail:] = win[avail - 1]
+                win[:, avail:] = win[:, avail - 1: avail]
             # a non-binding clip equals the one-shot's (its total never
-            # binds this far from the end); the true total binds the tail
-            clip_total = final_total if final_total is not None else fe + 2
+            # binds this far from the end); the BATCH total binds the
+            # tail — the one-shot batch path also clips every stream at
+            # the batch maximum (vocode_batch(mels[:, :t_max]))
+            clip_total = total_max if total_max is not None else fe + 2
             if use_pallas:
                 t0, rings, oh, cc = voc_carry
                 wav, rings, oh, cc = pvoc(
-                    rings, oh, cc, jnp.asarray(win[None]),
+                    rings, oh, cc, jnp.asarray(win),
                     jnp.asarray(f0, jnp.int32), jnp.asarray(s, jnp.int32),
                     jnp.asarray([t0], jnp.int32),
                     jnp.asarray(clip_total, jnp.int32),
@@ -335,11 +387,11 @@ class StreamingTTS:
                 voc_carry = (t0 + V, rings, oh, cc)
             else:
                 wav, voc_carry = self._voc_chunk(
-                    voc_carry, jnp.asarray(win[None]),
+                    voc_carry, jnp.asarray(win),
                     jnp.asarray(f0, jnp.int32), jnp.asarray(s, jnp.int32),
                     jnp.asarray(clip_total, jnp.int32), gc)
             s += V
-            return wav       # device array [1, V]; pulled by deliver()
+            return wav       # device array [N, V]; pulled by deliver()
 
         # Launch pipelining: chunk i's host pull rides under chunk i+1's
         # device time. The FIRST chunk is pulled immediately (time to
@@ -350,21 +402,26 @@ class StreamingTTS:
 
         def deliver(item):
             dev, s0 = item
-            wav = np.asarray(dev)[0]
-            if total is not None:      # final chunk: trim the overshoot
-                wav = wav[: total * hop - s0]
-            return wav
+            wav = np.asarray(dev)          # [N, V]
+            out = []
+            for i in range(N):
+                if row_done[i]:
+                    end = int(row_total[i]) * hop
+                    m = min(V, end - s0)
+                    out.append(wav[i, :m] if m > 0 else None)
+                else:
+                    out.append(wav[i])
+            return out
 
-        budget = cfg.max_iters
         while True:
-            finished = bool(np.asarray(carry[3]).all())
-            if finished or steps_done >= budget:
+            pull_stops()
+            if row_done.all() or steps_done >= budget:
                 break
             # emit every chunk whose exactness window is decoded: the lc
             # window needs postnet'ed rows through (s+V)//hop + 2, and
             # postnet'ing row b needs decoded rows through b + k + halo
             while head >= min((s + V) // hop + 3 + k + halo, B):
-                item = (vocode_next(None), s - V)   # s advanced inside
+                item = (vocode_next(), s - V)       # s advanced inside
                 if not first_sent:
                     first_sent = True
                     yield deliver(item)             # first audio: no hold
@@ -373,17 +430,20 @@ class StreamingTTS:
                         yield deliver(pending)
                     pending = item
             outs, carry = self._dec_chunk(ctx, carry)
-            got = np.asarray(D.assemble_outputs(outs, cfg.num_mels))[0]
-            n = min(got.shape[0], B - head)  # budget overshoot frames do
+            got = np.asarray(D.assemble_outputs(outs, cfg.num_mels))
+            n = min(got.shape[1], B - head)  # budget overshoot frames do
             if n > 0:                        # not exist in the one-shot
-                dec[head: head + n] = got[:n]  # buffer — drop them
-            head = min(head + got.shape[0], B)
+                dec[:, head: head + n] = got[:, :n]  # buffer — drop them
+            head = min(head + got.shape[1], B)
             steps_done += self._k_steps
 
-        total = int(min(np.asarray(carry[4])[0], budget)) * r
-        samples_total = total * hop
+        pull_stops()
+        row_total = np.minimum(np.asarray(carry[4]), budget) * r
+        row_done[:] = True
+        total_max = int(row_total.max())
+        samples_total = total_max * hop
         while s < samples_total:
-            item = (vocode_next(total), s - V)      # s advanced inside
+            item = (vocode_next(), s - V)           # s advanced inside
             if not first_sent:
                 first_sent = True
                 yield deliver(item)
@@ -393,13 +453,28 @@ class StreamingTTS:
                 pending = item
         if pending is not None:
             yield deliver(pending)
-        # inspection hook (tests assert it equals the one-shot postnet
-        # output over the voiced frames)
-        self.last_mel = mel[:total].copy()
-        self.last_total_frames = total
+        # inspection hooks (tests assert stream 0's mel equals the
+        # one-shot postnet output over the voiced frames)
+        self.last_mels = [mel[i, : int(row_total[i])].copy()
+                          for i in range(N)]
+        # untrimmed shared-clip batch (what vocode_batch would receive)
+        self.last_mel_batch = mel[:, :total_max].copy()
+        self.last_mel = self.last_mels[0]
+        self.last_total_frames = int(row_total[0])
 
     def synthesize(self, text: str, speaker_id: int = -1) -> np.ndarray:
         """Concatenate the stream (convenience / testing)."""
         chunks = list(self.stream(text, speaker_id))
         return (np.concatenate(chunks)
                 if chunks else np.zeros((0,), np.float32))
+
+    def synthesize_batch(self, texts, speaker_ids=None):
+        """Concatenate each stream of :meth:`stream_batch` (convenience /
+        testing). Returns a list of per-stream waveforms."""
+        parts = [[] for _ in texts]
+        for chunks in self.stream_batch(texts, speaker_ids):
+            for i, c in enumerate(chunks):
+                if c is not None and len(c):
+                    parts[i].append(c)
+        return [np.concatenate(p) if p else np.zeros((0,), np.float32)
+                for p in parts]

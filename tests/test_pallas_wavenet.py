@@ -252,3 +252,44 @@ def test_streaming_pallas_backend_matches_scan(monkeypatch):
     got = StreamingTTS(syn, voc, chunk_frames=8, temperature=0.0,
                        use_pallas=True).synthesize(text)
     np.testing.assert_array_equal(ref, got)
+
+
+def test_stream_batch_pallas_backend_matches_scan(monkeypatch):
+    """Batched concurrent streaming on the Pallas backend (batch>1 takes
+    the split-skip kernel path) == the scan backend, per stream."""
+    import nspeech_tpu.ops.pallas.wavenet_gen as wg
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.serving.pipeline import WaveNetVocoder
+    from nspeech_tpu.serving.streaming import StreamingTTS
+    from nspeech_tpu.serving.synthesizer import Synthesizer
+    from nspeech_tpu.config import load_config
+
+    cfg = load_config("taco2")
+    cfg.parse("max_iters=16,encoder_conv_layers=1,postnet_conv_layers=2,"
+              "expand_conv_layers=1,encoder_conv_channels=16,"
+              "attention_dim=16,postnet_conv_channels=16,"
+              "expand_conv_channels=16,decoder_lstm_units=32,"
+              "encoder_lstm_units=16,expand_lstm_units=16,embedding_dim=16")
+    model = create_model("taco2", cfg)
+    params, bn = model.init(jax.random.PRNGKey(0))
+    syn = Synthesizer(cfg, text_bucket=16).set_variables(params, bn,
+                                                         model=model)
+    vcfg = load_config("wavenet")
+    vcfg.parse("dilations_length=3,dilations_depth=1,residual_channels=8,"
+               "dilation_channels=8,skip_channels=16,"
+               "quantization_channels=64,lc_channels=%d" % cfg.num_mels)
+    net = WaveNet(vcfg)
+    voc = WaveNetVocoder(vcfg, use_pallas=False).set_variables(
+        net, net.init(jax.random.PRNGKey(1)))
+
+    orig = wg.PallasWaveNetGenerator
+    monkeypatch.setattr(
+        wg, "PallasWaveNetGenerator",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    texts = ["two streams", "in one batched kernel"]
+    ref = StreamingTTS(syn, voc, chunk_frames=8, temperature=0.0,
+                       use_pallas=False).synthesize_batch(texts)
+    got = StreamingTTS(syn, voc, chunk_frames=8, temperature=0.0,
+                       use_pallas=True).synthesize_batch(texts)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

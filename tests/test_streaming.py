@@ -411,3 +411,88 @@ def test_streaming_tts_passes_global_conditioning():
 
     wav_uncond = tts.synthesize("hi there", speaker_id=-1)
     assert np.abs(wav_spk1 - wav_uncond).max() > 1e-3  # gc really applied
+
+
+def test_stream_batch_matches_one_shot_batch():
+    """N concurrent streams == the one-shot BATCH path: the shared-clip
+    batched vocode of the streamed mel buffer, trimmed per stream at its
+    stop frame. Streams of different lengths end independently (later
+    rounds yield None for an ended stream) and every yielded chunk is in
+    stream order."""
+    from nspeech_tpu.data.feeder import round_up
+    from nspeech_tpu.models import decoder as D
+    from nspeech_tpu.serving.streaming import StreamingTTS
+    from nspeech_tpu.text import text_to_sequence
+    from nspeech_tpu.text.symbols import PAD_ID
+
+    # threshold from ALL streams' raw projection traces, chosen so the
+    # three texts stop at DIFFERENT interior steps (random-init
+    # projections are tiny everywhere, so a single-text threshold tends
+    # to stop every stream at step 1)
+    texts = ["hello world", "a very different input line", "hi"]
+    synth0, _ = _micro_tts()
+    cfg0 = synth0.cfg
+    r = cfg0.outputs_per_step
+    seqs = [text_to_sequence(t, ["english_cleaners"]) for t in texts]
+    pad = round_up(max(len(sq) for sq in seqs), 16)
+    ids = np.full((len(texts), pad), PAD_ID, np.int32)
+    for i, sq in enumerate(seqs):
+        ids[i, : len(sq)] = sq
+    ctx, cell0 = synth0.model.attention_context(
+        synth0._params, synth0._bn_state, jnp.asarray(ids),
+        jnp.asarray([len(sq) for sq in seqs], jnp.int32),
+        jnp.zeros((len(texts),), jnp.int32))
+    step = synth0.model.make_eval_step(synth0._params, ctx)
+    raw_outs, _, _ = D.scan_autoregressive(
+        step, cell0, len(texts), cfg0.num_mels, r,
+        max_iters=cfg0.max_iters)
+    per_step = np.abs(np.asarray(raw_outs)).max(axis=2)   # [T, N]
+    vals = sorted(set(per_step.ravel().tolist()))
+    thresh = None
+    for lo, hi in zip(vals, vals[1:]):
+        c = (lo + hi) / 2.0   # robustly between two observed projections
+        stops = [int(np.argmax(per_step[:, i] <= c))
+                 if (per_step[:, i] <= c).any()
+                 else cfg0.max_iters for i in range(len(texts))]
+        if len(set(stops)) > 1:
+            # some streams stop earlier than others (possibly only at
+            # the budget cap) — real length divergence either way
+            thresh = c
+            break
+    assert thresh is not None, "no differentiating threshold in traces"
+
+    synth, vocoder = _micro_tts(stop_threshold=thresh)
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    wavs = tts.synthesize_batch(texts)
+    totals = [m.shape[0] for m in tts.last_mels]
+    assert len(set(totals)) > 1           # genuinely different lengths
+    assert tts.last_mel_batch.shape[1] == max(totals)
+
+    # one-shot batch reference: shared-clip vocode of the same mel batch
+    ref = vocoder.vocode_batch(tts.last_mel_batch, temperature=0.0)
+    for i in range(len(texts)):
+        assert wavs[i].shape == (totals[i] * tts._hop,)
+        np.testing.assert_allclose(wavs[i], ref[i, : totals[i] * tts._hop],
+                                   atol=1e-6)
+
+    # an ended stream yields None while longer streams continue
+    rounds = list(tts.stream_batch(texts))
+    i_short = int(np.argmin(totals))
+    i_long = int(np.argmax(totals))
+    saw_none_with_live_long = any(
+        ch[i_short] is None and ch[i_long] is not None and len(ch[i_long])
+        for ch in rounds)
+    assert saw_none_with_live_long
+
+
+def test_stream_batch_single_equals_stream():
+    """stream() is stream_batch at N=1: identical chunks."""
+    from nspeech_tpu.serving.streaming import StreamingTTS
+
+    synth, vocoder = _micro_tts()
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    a = tts.synthesize("hello world")
+    b = tts.synthesize_batch(["hello world"])[0]
+    np.testing.assert_array_equal(a, b)
