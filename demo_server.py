@@ -147,6 +147,8 @@ def make_app(synthesizer, cfg, streamer=None):
                        "routes": counters["routes"]}
             if hasattr(synthesizer, "stats"):  # DynamicBatcher
                 payload["dynamic_batching"] = dict(synthesizer.stats)
+            if streamer is not None and hasattr(streamer, "stats"):
+                payload["stream_batching"] = dict(streamer.stats)
             body = _json.dumps(payload).encode("utf-8")
             start_response("200 OK", [("Content-Type", "application/json"),
                                       ("Content-Length", str(len(body)))])
@@ -397,6 +399,15 @@ def main() -> None:
             # GET /synthesize_stream: chunked audio while decoding
             streamer = StreamingTTS(synthesizer, vocoder,
                                     chunk_frames=args.stream_chunk_frames)
+            if args.dynamic_batch > 0:
+                from nspeech_tpu.serving import StreamBatcher
+
+                print("Stream batching: up to %d concurrent streams per "
+                      "%.0f ms window" % (args.dynamic_batch,
+                                          args.batch_window_ms))
+                streamer = StreamBatcher(streamer,
+                                         max_batch=args.dynamic_batch,
+                                         window_ms=args.batch_window_ms)
         synthesizer = TextToSpeech(synthesizer, vocoder)
     app = make_app(_maybe_batch(synthesizer, args), cfg, streamer=streamer)
     print("Serving on port %d" % args.port)

@@ -10,5 +10,8 @@ from nspeech_tpu.serving.export import (  # noqa: F401
     export_vocoder,
 )
 from nspeech_tpu.serving.streaming import StreamingTTS  # noqa: F401
-from nspeech_tpu.serving.batcher import DynamicBatcher  # noqa: F401
+from nspeech_tpu.serving.batcher import (  # noqa: F401
+    DynamicBatcher,
+    StreamBatcher,
+)
 from nspeech_tpu.serving.longform import split_text, synthesize_long  # noqa: F401

@@ -161,3 +161,83 @@ def test_dead_worker_fails_loudly():
     b.close()  # worker exits
     with pytest.raises(RuntimeError, match="worker thread is dead"):
         b.synthesize("hello", -1)
+
+
+class FakeStreamer:
+    """stream_batch stub: K chunks per stream, per-text deterministic
+    values, stream i ends after len(text)%3+1 chunks (None afterward)."""
+
+    def __init__(self, delay=0.02, bad_text=None):
+        self.batch_sizes = []
+        self.delay = delay
+        self.bad_text = bad_text
+        self.lock = threading.Lock()
+
+    def stream_batch(self, texts, speaker_ids=None):
+        with self.lock:
+            self.batch_sizes.append(len(texts))
+        if self.bad_text is not None and self.bad_text in texts:
+            raise ValueError("bad text")
+        ends = [len(t) % 3 + 1 for t in texts]
+        for rnd in range(max(ends)):
+            time.sleep(self.delay)
+            yield [np.full(4, float(len(t) * 10 + rnd), np.float32)
+                   if rnd < ends[i] else None
+                   for i, t in enumerate(texts)]
+
+
+def _fire_streams(batcher, texts, speakers=None):
+    results = {}
+    errors = {}
+
+    def one(i, t, s):
+        try:
+            results[i] = list(batcher.stream(t, s, timeout=10))
+        except Exception as e:  # noqa: BLE001 - recorded for assertions
+            errors[i] = e
+
+    speakers = speakers or [-1] * len(texts)
+    threads = [threading.Thread(target=one, args=(i, t, s))
+               for i, (t, s) in enumerate(zip(texts, speakers))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    return results, errors
+
+
+def test_stream_batcher_groups_and_fans_out():
+    from nspeech_tpu.serving import StreamBatcher
+
+    fake = FakeStreamer()
+    b = StreamBatcher(fake, max_batch=4, window_ms=100.0)
+    texts = ["ab", "defg", "hijkl"]          # ends after 3, 2, 1 chunks
+    results, errors = _fire_streams(b, texts)
+    assert not errors
+    assert max(fake.batch_sizes) >= 2        # actually grouped
+    for i, t in enumerate(texts):
+        chunks = results[i]
+        assert len(chunks) == len(t) % 3 + 1
+        for rnd, c in enumerate(chunks):
+            np.testing.assert_array_equal(
+                c, np.full(4, float(len(t) * 10 + rnd), np.float32))
+    assert b.stats["requests"] == 3
+    assert b.stats["batches"] <= 2
+
+
+def test_stream_batcher_failure_aborts_group():
+    from nspeech_tpu.serving import StreamBatcher
+
+    fake = FakeStreamer(bad_text="bad")
+    b = StreamBatcher(fake, max_batch=4, window_ms=100.0)
+    results, errors = _fire_streams(b, ["ok text", "bad"])
+    # the whole group fails (partial audio cannot be retried per item)
+    assert set(errors) == {0, 1}
+    assert all(isinstance(e, ValueError) for e in errors.values())
+
+
+def test_stream_batcher_rejects_streamless():
+    from nspeech_tpu.serving import StreamBatcher
+
+    with pytest.raises(ValueError, match="stream_batch"):
+        StreamBatcher(object())
