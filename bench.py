@@ -287,7 +287,26 @@ def bench_streaming_first_audio():
         raise RuntimeError("stream produced no audio")
 
     first_chunk_sec()  # compile all chunk programs
-    return min(first_chunk_sec() for _ in range(3))
+    ttfa = min(first_chunk_sec() for _ in range(3))
+
+    # Concurrent batched streaming: 8 streams through one batched
+    # pipeline (stream_batch). Aggregate real-time factor = total audio
+    # seconds produced / wall seconds.
+    texts = [text,
+             "Glue the sheet to the dark blue background of the wall.",
+             "It is easy to tell the depth of a deep well today.",
+             "These days a chicken leg is quite a rare dish indeed.",
+             "Rice is often served in round bowls at dinner time.",
+             "The juice of lemons makes fine punch for everyone.",
+             "The box was thrown beside the parked truck outside.",
+             "The hogs were fed with chopped corn and garbage."]
+    list(tts.stream_batch(texts))  # compile the batch-8 programs
+    start = time.perf_counter()
+    samples = sum(len(c) for chunks in tts.stream_batch(texts)
+                  for c in chunks if c is not None)
+    wall = time.perf_counter() - start
+    rt8 = (samples / cfg.sample_rate) / wall
+    return ttfa, rt8
 
 
 def _emit(metric: str, value, unit: str, vs_baseline, precision: str) -> None:
@@ -466,9 +485,12 @@ def main() -> None:
         # audio reaches the client). Guarded: a failure here must not
         # void the already-emitted metrics.
         try:
-            ttfa = bench_streaming_first_audio()
+            ttfa, rt8 = bench_streaming_first_audio()
             _emit("taco2_streaming_first_audio_sec", round(ttfa, 4),
                   "sec", round(sec_utt / ttfa, 2), args.precision)
+            # vs_baseline: aggregate RT over the 5x single-stream target
+            _emit("taco2_stream_batch8_rt_aggregate", round(rt8, 2),
+                  "x_realtime", round(rt8 / 5.0, 2), args.precision)
         except Exception as e:  # pragma: no cover - defensive
             import sys
 
