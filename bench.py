@@ -248,9 +248,17 @@ def bench_taco2_serving():
         start = time.perf_counter()
         syn.synthesize(text)
         best = min(best, time.perf_counter() - start)
+    # wav-only (the GET /synthesize HTTP semantics): skips the mel/linear
+    # device->host pulls — through the relay the full-resolution linear
+    # transfer dominates the per-request wall clock
+    best_wav = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        syn.synthesize(text, want_features=False)
+        best_wav = min(best_wav, time.perf_counter() - start)
     _, hop, _ = config.stft_params(cfg)
     audio_secs = mel.shape[0] * hop / cfg.sample_rate
-    return best, audio_secs
+    return best, best_wav, audio_secs
 
 
 def bench_streaming_first_audio():
@@ -476,9 +484,11 @@ def main() -> None:
         # how many times faster than real time the serving path runs. The
         # decode runs under the same global matmul precision as training
         # (set by bench_taco2_train above), so label it accordingly.
-        sec_utt, audio_secs = bench_taco2_serving()
+        sec_utt, sec_wav_only, audio_secs = bench_taco2_serving()
         _emit("taco2_serving_sec_per_utterance_cap", round(sec_utt, 4),
               "sec", round(audio_secs / sec_utt, 2), args.precision)
+        _emit("taco2_serving_wav_only_sec", round(sec_wav_only, 4),
+              "sec", round(audio_secs / sec_wav_only, 2), args.precision)
 
         # Streaming serving: time-to-first-audio. vs_baseline = the
         # one-shot cap latency over TTFA (how much sooner the first

@@ -218,7 +218,14 @@ def make_app(synthesizer, cfg, streamer=None):
             from nspeech_tpu.serving import ClientError
 
             try:
-                wav, _mel, _lin = synthesizer.synthesize(text, speaker_id)
+                try:
+                    # this route ships the wav only: skip the mel/linear
+                    # device->host pulls (Synthesizer supports it; other
+                    # backends — TextToSpeech, batcher, AOT — don't yet)
+                    wav, _mel, _lin = synthesizer.synthesize(
+                        text, speaker_id, want_features=False)
+                except TypeError:
+                    wav, _mel, _lin = synthesizer.synthesize(text, speaker_id)
             except ClientError as e:  # e.g. text beyond an AOT artifact's
                 start_response("400 Bad Request",  # exported text_len
                                [("Content-Type", "text/plain")])

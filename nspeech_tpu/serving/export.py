@@ -77,6 +77,9 @@ def export_synthesizer(
         "platforms": list(exported.platforms),
         "cleaners": cfg.cleaners,
         "preemphasis": float(cfg.preemphasis),
+        # the exported program already applies inv_preemphasis (the
+        # synthesizer fused it in-program); loaders must not re-apply
+        "preemphasis_in_program": True,
         "sample_rate": int(cfg.sample_rate),
         # endpoint trim constants (dsp.find_endpoint's inputs)
         "min_silence_sec": 0.8,
@@ -256,7 +259,8 @@ class ExportedSynthesizer:
         # dsp.find_endpoint (audio.py:518-527), so the loader carries no
         # jax-DSP / training-config dependency
         k = self.meta["preemphasis"]
-        if k:
+        if k and not self.meta.get("preemphasis_in_program", False):
+            # pre-fusion artifacts exported raw GL output
             from scipy.signal import lfilter
 
             wav = lfilter([1.0], [1.0, -k], wav).astype(np.float32)

@@ -89,13 +89,18 @@ class Synthesizer:
         self._bn_state = bn_state
 
         def forward(text, lengths, speaker_ids, key):
-            """Batched decode + per-item Griffin-Lim (vmapped), one program."""
+            """Batched decode + per-item Griffin-Lim (vmapped), one program.
+            inv_preemphasis runs INSIDE the program: eagerly it would
+            re-trace its associative_scan on every request (~150 ms of
+            host time per call, measured through the relay)."""
             outputs, _ = self.model.forward(
                 self._params, self._bn_state, text, lengths,
                 speaker_ids=speaker_ids, is_training=False)
             keys = jax.random.split(key, text.shape[0])
+            coef = float(self.cfg.preemphasis)
             wavs = jax.vmap(
-                lambda lin, k: dsp.inv_spectrogram(lin, self.cfg, key=k)
+                lambda lin, k: dsp.inv_preemphasis(
+                    dsp.inv_spectrogram(lin, self.cfg, key=k), coef)
             )(outputs["linear_outputs"], keys)
             return (wavs, outputs["mel_outputs"], outputs["linear_outputs"],
                     outputs["alignments"],
@@ -118,15 +123,25 @@ class Synthesizer:
             self._forward = jax.jit(forward)
         return self
 
-    def synthesize(self, text: str, speaker_id: int = -1
+    def synthesize(self, text: str, speaker_id: int = -1,
+                   want_features: bool = True
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Returns (waveform float32, mel [T,M], linear [T,F])."""
-        wavs, mels, lins = self.synthesize_batch([text], [speaker_id])
-        return wavs[0], mels[0], lins[0]
+        """Returns (waveform float32, mel [T,M], linear [T,F]).
+        ``want_features=False`` skips the mel/linear device->host pulls
+        (returns None for both) — the wav-only serving routes save the
+        full-resolution linear transfer, the dominant cost per request
+        on a remote-relay chip."""
+        wavs, mels, lins = self.synthesize_batch(
+            [text], [speaker_id], want_features=want_features)
+        return (wavs[0], mels[0] if mels is not None else None,
+                lins[0] if lins is not None else None)
 
-    def synthesize_batch(self, texts, speaker_ids=None):
+    def synthesize_batch(self, texts, speaker_ids=None,
+                         want_features: bool = True):
         """Batch synthesis: one padded forward + vmapped Griffin-Lim for N
-        texts. Returns (list of waveforms, mels [N,T,M], linears [N,T,F])."""
+        texts. Returns (list of waveforms, mels [N,T,M], linears [N,T,F]);
+        the feature arrays are None with ``want_features=False`` (their
+        pulls are skipped)."""
         if self._forward is None:
             raise RuntimeError("Synthesizer.load() or set_variables() first")
         if speaker_ids is None:
@@ -158,6 +173,9 @@ class Synthesizer:
         self.last_decoder_steps = int(np.asarray(dec_steps)[0])
         out_wavs = []
         for i in range(len(texts)):  # drop batch-padding rows
-            wav = np.asarray(dsp.inv_preemphasis(wavs[i], self.cfg.preemphasis))
+            wav = np.asarray(wavs[i])   # inv_preemphasis ran in-program
             out_wavs.append(wav[: dsp.find_endpoint(wav, self.cfg)])
-        return out_wavs, np.asarray(mels[: len(texts)]), np.asarray(lins[: len(texts)])
+        if not want_features:
+            return out_wavs, None, None
+        return (out_wavs, np.asarray(mels[: len(texts)]),
+                np.asarray(lins[: len(texts)]))
