@@ -176,6 +176,41 @@ class StreamingTTS:
                 stop_threshold=self._stop)
             return outs, carry
 
+        # First-window prefix: encoder + the decoder steps and postnet
+        # rows the FIRST wav chunk needs, in ONE program. Dispatch
+        # latency dominates time-to-first-audio on remote-dispatch
+        # serving (each round trip ~20 ms through this testbed's relay;
+        # the prefix replaces ~6 of them with one). Exactness: same
+        # decode primitives, and the postnet window starts at the TRUE
+        # 0-boundary with an interior halo crop on the right — the same
+        # window property mel_ready relies on.
+        W, halo_ = self._W, self._halo
+        n0 = -(-(W + halo_) // r)              # ceil: frames the window needs
+        self._prefix_frames = n0 * r
+        self._use_prefix = (not self._whole_postnet
+                            and n0 <= cfg.max_iters
+                            and self._buf_frames >= W + halo_)
+
+        @jax.jit
+        def prefix(ids, lengths, spk):
+            ctx, cell0 = model.attention_context(params, bn, ids, lengths,
+                                                 spk)
+            step = model.make_eval_step(params, ctx)
+            (out0, _a0), carry = D.start_autoregressive(
+                step, cell0, ids.shape[0], num_mels, cfg.max_iters,
+                stop_threshold=self._stop)
+            (outs, _as), carry = D.scan_autoregressive_chunk(
+                step, carry, n0 - 1, num_mels, stop_threshold=self._stop)
+            dec0 = jnp.concatenate(
+                [D.assemble_outputs(out0[None], num_mels),
+                 D.assemble_outputs(outs, num_mels)], axis=1)  # [N, n0*r, M]
+            win = dec0[:, : W + halo_]
+            if hasattr(model, "postnet_residual"):
+                mel0 = win + model.postnet_residual(params, bn, win)
+            else:
+                mel0 = win
+            return ctx, carry, dec0, mel0[:, :W]
+
         @jax.jit
         def mel_chunk(window, crop):
             # window: [1, k + 2*halo, M] carved from inside the decode
@@ -202,6 +237,7 @@ class StreamingTTS:
 
         self._start, self._dec_chunk = start, dec_chunk
         self._mel_chunk, self._voc_chunk = mel_chunk, voc_chunk
+        self._prefix = prefix
 
     def _pallas_gen(self, gc_key, batch: int):
         """Pallas streaming generator, params packed per gc-ids key
@@ -309,16 +345,26 @@ class StreamingTTS:
                 gc_key = tuple(int(s) for s in speaker_ids)
                 gc = jnp.asarray(gc_key, jnp.int32)
 
-        ctx, out0, carry = self._start(jnp.asarray(ids), lengths, spk)
         B = self._buf_frames           # the one-shot postnet input size
         dec = np.zeros((N, B, cfg.num_mels), np.float32)  # decode buffer
-        dec[:, :r] = np.asarray(D.assemble_outputs(out0[None],
-                                                   cfg.num_mels))
-        head = r                       # decoded frames so far (lockstep)
-        steps_done = 1
-
         mel = np.zeros((N, B, cfg.num_mels), np.float32)  # postnet'ed
-        mel_head = 0
+        if self._use_prefix:
+            # one dispatch covers encoder + first decoder steps + first
+            # postnet rows (see _jit_programs.prefix)
+            ctx, carry, dec0, mel0 = self._prefix(jnp.asarray(ids),
+                                                  lengths, spk)
+            head = min(self._prefix_frames, B)
+            dec[:, :head] = np.asarray(dec0)[:, :head]
+            mel_head = self._W
+            mel[:, :mel_head] = np.asarray(mel0)
+            steps_done = self._prefix_frames // r
+        else:
+            ctx, out0, carry = self._start(jnp.asarray(ids), lengths, spk)
+            dec[:, :r] = np.asarray(D.assemble_outputs(out0[None],
+                                                       cfg.num_mels))
+            head = r                   # decoded frames so far (lockstep)
+            steps_done = 1
+            mel_head = 0
         use_pallas = self._use_pallas
         if use_pallas:
             pvoc = self._pallas_voc(gc_key, N)
@@ -353,10 +399,16 @@ class StreamingTTS:
                 else:
                     w0 = min(max(b - halo, 0), B - (k + 2 * halo))
                     win = dec[:, w0: w0 + k + 2 * halo]
+                # dynamic_slice CLAMPS an out-of-range start (crop+k must
+                # stay inside the window, or rows silently repeat): cap
+                # the crop and index the wanted rows past it on host —
+                # matters when mel_head is not k-aligned (prefix path)
+                crop = min(b - w0, win.shape[1] - k)
+                off = (b - w0) - crop
                 out = self._mel_chunk(jnp.asarray(win),
-                                      jnp.asarray(b - w0, jnp.int32))
+                                      jnp.asarray(crop, jnp.int32))
                 n = min(k, B - b)
-                mel[:, b: b + n] = np.asarray(out)[:, :n]
+                mel[:, b: b + n] = np.asarray(out)[:, off: off + n]
                 mel_head = b + n
 
         def vocode_next():
@@ -412,6 +464,17 @@ class StreamingTTS:
                 else:
                     out.append(wav[i])
             return out
+
+        if self._use_prefix:
+            # the prefix already decoded + postnet'ed the first lc
+            # window: emit the first wav chunk NOW (one voc dispatch)
+            # unless every stream already stopped — then the tail loop
+            # below must vocode it with the true (binding) frame clip
+            pull_stops()
+            if not row_done.all():
+                item = (vocode_next(), s - V)       # s advanced inside
+                first_sent = True
+                yield deliver(item)
 
         while True:
             pull_stops()
