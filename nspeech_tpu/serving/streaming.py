@@ -323,13 +323,24 @@ class StreamingTTS:
         N = len(texts)
         if speaker_ids is None:
             speaker_ids = [-1] * N
+        n_real = N
+        # Pad the batch axis to a power of two (synthesize_batch's rule):
+        # every distinct N would otherwise compile its own decoder /
+        # postnet / Pallas-kernel variants. Padding rows get length 0 —
+        # the decoder marks them finished at t=0, so they never extend
+        # the batch's decode — and their chunks are dropped at delivery.
+        N = max(1, 1 << (N - 1).bit_length())
         seqs = [text_to_sequence(t, self._cleaners) for t in texts]
         padded = round_up(max(max(len(sq) for sq in seqs), 1), self._bucket)
         ids = np.full((N, padded), PAD_ID, np.int32)
         for i, sq in enumerate(seqs):
             ids[i, : len(sq)] = sq
-        lengths = jnp.asarray([len(sq) for sq in seqs], jnp.int32)
-        spk = jnp.asarray([max(s, 0) for s in speaker_ids], jnp.int32)
+        lengths = np.zeros((N,), np.int32)
+        lengths[:n_real] = [len(sq) for sq in seqs]
+        lengths = jnp.asarray(lengths)
+        spk_np = np.zeros((N,), np.int32)
+        spk_np[:n_real] = [max(s, 0) for s in speaker_ids]
+        spk = jnp.asarray(spk_np)
 
         gc = None
         gc_key = None
@@ -342,7 +353,7 @@ class StreamingTTS:
                     "stream_batch: cannot mix explicit speaker_ids and "
                     "-1/None (unconditioned) in one vocoder batch")
             if not any(missing):
-                gc_key = tuple(int(s) for s in speaker_ids)
+                gc_key = tuple(int(s) for s in spk_np)
                 gc = jnp.asarray(gc_key, jnp.int32)
 
         B = self._buf_frames           # the one-shot postnet input size
@@ -454,9 +465,9 @@ class StreamingTTS:
 
         def deliver(item):
             dev, s0 = item
-            wav = np.asarray(dev)          # [N, V]
+            wav = np.asarray(dev)          # [N, V]; padding rows dropped
             out = []
-            for i in range(N):
+            for i in range(n_real):
                 if row_done[i]:
                     end = int(row_total[i]) * hop
                     m = min(V, end - s0)
@@ -519,9 +530,9 @@ class StreamingTTS:
         # inspection hooks (tests assert stream 0's mel equals the
         # one-shot postnet output over the voiced frames)
         self.last_mels = [mel[i, : int(row_total[i])].copy()
-                          for i in range(N)]
+                          for i in range(n_real)]
         # untrimmed shared-clip batch (what vocode_batch would receive)
-        self.last_mel_batch = mel[:, :total_max].copy()
+        self.last_mel_batch = mel[:n_real, :total_max].copy()
         self.last_mel = self.last_mels[0]
         self.last_total_frames = int(row_total[0])
 
