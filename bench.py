@@ -339,6 +339,8 @@ def _require_live_relay() -> None:
     __graft_entry__); on hosts with no axon markers this is a no-op."""
     from nspeech_tpu.utils.relay import RELAY_HOST, RELAY_PORT, relay_dead
 
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return  # explicit CPU run never touches the relay
     if relay_dead():
         print(json.dumps({
             "metric": "taco2_train_mel_frames_per_sec_per_chip",

@@ -41,7 +41,7 @@ class DynamicBatcher:
     # --- single-request surface (what make_app's routes call) -----------
 
     def synthesize(self, text: str, speaker_id: int = -1,
-                   timeout: Optional[float] = 300.0):
+                   timeout: Optional[float] = 600.0):
         """Enqueue and wait; returns (wav, mel, lin) like Synthesizer.
 
         The default timeout keeps a dead worker from blocking callers
@@ -167,7 +167,7 @@ class StreamBatcher:
         self._worker.start()
 
     def stream(self, text: str, speaker_id: int = -1,
-               timeout: Optional[float] = 300.0):
+               timeout: Optional[float] = 600.0):
         """Enqueue and yield waveform chunks as the batched pipeline
         produces them. ``timeout`` bounds the wait for EACH chunk."""
         if not self._worker.is_alive():

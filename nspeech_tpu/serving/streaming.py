@@ -165,7 +165,8 @@ class StreamingTTS:
             step = model.make_eval_step(params, ctx)
             (out0, _align0), carry = D.start_autoregressive(
                 step, cell0, ids.shape[0], num_mels, cfg.max_iters,
-                stop_threshold=self._stop)
+                stop_threshold=self._stop,
+                initial_finished=lengths < 1)   # batch-padding rows
             return ctx, out0, carry
 
         @jax.jit
@@ -198,7 +199,8 @@ class StreamingTTS:
             step = model.make_eval_step(params, ctx)
             (out0, _a0), carry = D.start_autoregressive(
                 step, cell0, ids.shape[0], num_mels, cfg.max_iters,
-                stop_threshold=self._stop)
+                stop_threshold=self._stop,
+                initial_finished=lengths < 1)   # batch-padding rows
             (outs, _as), carry = D.scan_autoregressive_chunk(
                 step, carry, n0 - 1, num_mels, stop_threshold=self._stop)
             dec0 = jnp.concatenate(
@@ -249,8 +251,19 @@ class StreamingTTS:
 
             gc = (jnp.asarray(gc_key, jnp.int32)
                   if gc_key is not None else None)
+            # Each generator pins a packed copy of the weights on device
+            # and gc_key is the per-stream speaker TUPLE — a multi-speaker
+            # streaming server could otherwise accumulate one copy per
+            # distinct request-window composition. Bound the cache (LRU).
+            while len(self._pallas_gens) >= 8:
+                old_key, old_gen = next(iter(self._pallas_gens.items()))
+                self._pallas_gens.pop(old_key)
+                self._pallas_vocs.pop(id(old_gen), None)
             self._pallas_gens[(gc_key, batch)] = PallasWaveNetGenerator(
                 self.net, self._vparams, gc_ids=gc)
+        else:  # LRU refresh
+            self._pallas_gens[(gc_key, batch)] = self._pallas_gens.pop(
+                (gc_key, batch))
         return self._pallas_gens[(gc_key, batch)]
 
     def _pallas_voc(self, gc_key, batch: int):
@@ -339,7 +352,8 @@ class StreamingTTS:
         lengths[:n_real] = [len(sq) for sq in seqs]
         lengths = jnp.asarray(lengths)
         spk_np = np.zeros((N,), np.int32)
-        spk_np[:n_real] = [max(s, 0) for s in speaker_ids]
+        spk_np[:n_real] = [0 if (s is None or s < 0) else s
+                           for s in speaker_ids]
         spk = jnp.asarray(spk_np)
 
         gc = None
@@ -393,8 +407,13 @@ class StreamingTTS:
         def pull_stops():
             nonlocal row_done, row_total
             row_done = np.asarray(carry[3]).astype(bool)
-            stops = np.minimum(np.asarray(carry[4]), budget)
-            row_total = np.where(row_done, stops * r, B)
+            if row_done.any():
+                # only finished rows' totals are ever read (delivery
+                # trims); skipping the second device pull on the common
+                # no-rows-finished iteration halves the per-chunk
+                # round trips on a remote-relay chip
+                stops = np.minimum(np.asarray(carry[4]), budget)
+                row_total = np.where(row_done, stops * r, B)
 
         def mel_ready(upto):
             """Extend the postnet'ed mel to cover frames [0, upto).

@@ -496,3 +496,46 @@ def test_stream_batch_single_equals_stream():
     a = tts.synthesize("hello world")
     b = tts.synthesize_batch(["hello world"])[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_stream_batch_padding_rows_start_finished():
+    """Batch-padding rows (length 0) must be finished at t=0 in BOTH
+    streaming start programs — otherwise a pad row decoding from PAD
+    context can run the whole max_iters budget and stretch every real
+    stream's tail (the one-shot path pins this via
+    initial_finished=input_lengths < 1, tacotron2.py)."""
+    from nspeech_tpu.serving.streaming import StreamingTTS
+    from nspeech_tpu.text import text_to_sequence
+    from nspeech_tpu.text.symbols import PAD_ID
+
+    synth, vocoder = _micro_tts()
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    seq = text_to_sequence("hello", ["english_cleaners"])
+    ids = np.full((2, 16), PAD_ID, np.int32)
+    ids[0, : len(seq)] = seq
+    lengths = jnp.asarray([len(seq), 0], jnp.int32)
+    spk = jnp.zeros((2,), jnp.int32)
+
+    _ctx, _out0, carry = tts._start(jnp.asarray(ids), lengths, spk)
+    finished = np.asarray(carry[3])
+    assert bool(finished[1]) and not bool(finished[0])
+
+    assert tts._use_prefix
+    _ctx, pcarry, dec0, _mel0 = tts._prefix(jnp.asarray(ids), lengths, spk)
+    assert bool(np.asarray(pcarry[3])[1])
+    # finished rows emit zeros (the one-shot buffer's zero tail)
+    assert float(np.abs(np.asarray(dec0)[1]).max()) == 0.0
+
+
+def test_stream_batch_accepts_none_speaker():
+    """None speaker_id means unconditioned (the documented contract and
+    what StreamBatcher forwards) — it must not crash the id packing."""
+    from nspeech_tpu.serving.streaming import StreamingTTS
+
+    synth, vocoder = _micro_tts()
+    tts = StreamingTTS(synth, vocoder, chunk_frames=4, temperature=0.0,
+                       text_bucket=16)
+    a = tts.synthesize_batch(["hello world"], [None])[0]
+    b = tts.synthesize_batch(["hello world"], [-1])[0]
+    np.testing.assert_array_equal(a, b)
