@@ -323,6 +323,37 @@ def _maybe_batch(synthesizer, args):
     return synthesizer
 
 
+def _warmup(synthesizer, streamer, args) -> None:
+    """Compile every program a first request could hit: the wav-only and
+    full-feature single paths, the max dynamic-batch bucket, and (with
+    streaming) the 1- and max-size stream batches."""
+    import time as _t
+
+    text = "warm up the serving programs."
+    t0 = _t.monotonic()
+    print("Warmup: single synthesize ...", flush=True)
+    try:
+        synthesizer.synthesize(text, -1, want_features=False)
+        synthesizer.synthesize(text, -1)
+    except TypeError:
+        synthesizer.synthesize(text, -1)
+    if args.dynamic_batch > 1 and hasattr(synthesizer, "synthesize_batch"):
+        print("Warmup: batch-%d synthesize ..." % args.dynamic_batch,
+              flush=True)
+        synthesizer.synthesize_batch([text] * args.dynamic_batch)
+    if streamer is not None:
+        tts = getattr(streamer, "_tts", streamer)   # unwrap StreamBatcher
+        print("Warmup: single stream ...", flush=True)
+        for _ in tts.stream(text):
+            pass
+        if args.dynamic_batch > 1:
+            print("Warmup: batch-%d stream ..." % args.dynamic_batch,
+                  flush=True)
+            for _ in tts.stream_batch([text] * args.dynamic_batch):
+                pass
+    print("Warmup done in %.0f s" % (_t.monotonic() - t0), flush=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", default=None,
@@ -349,6 +380,11 @@ def main() -> None:
     parser.add_argument("--batch-window-ms", type=float, default=10.0,
                         help="How long the dynamic batcher waits for "
                              "companions after the first request")
+    parser.add_argument("--warmup", action="store_true",
+                        help="Compile the serving programs at startup "
+                             "(one dummy request per surface and batch "
+                             "bucket) so first real requests don't pay "
+                             "multi-minute XLA compiles")
     parser.add_argument("--platform", default=None)
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard batched synthesis over all local "
@@ -416,7 +452,10 @@ def main() -> None:
                                          max_batch=args.dynamic_batch,
                                          window_ms=args.batch_window_ms)
         synthesizer = TextToSpeech(synthesizer, vocoder)
-    app = make_app(_maybe_batch(synthesizer, args), cfg, streamer=streamer)
+    synthesizer = _maybe_batch(synthesizer, args)
+    if args.warmup:
+        _warmup(synthesizer, streamer, args)
+    app = make_app(synthesizer, cfg, streamer=streamer)
     print("Serving on port %d" % args.port)
     serve_forever(app, args.port)
 

@@ -241,3 +241,38 @@ def test_stream_batcher_rejects_streamless():
 
     with pytest.raises(ValueError, match="stream_batch"):
         StreamBatcher(object())
+
+
+def test_server_warmup_touches_every_surface():
+    """--warmup compiles each program a first request could hit: single
+    (wav-only + full), the max batch bucket, and 1/max stream batches."""
+    from types import SimpleNamespace
+
+    from demo_server import _warmup
+
+    calls = []
+
+    class WarmSynth:
+        def synthesize(self, text, speaker_id, want_features=True):
+            calls.append(("synthesize", want_features))
+            return np.zeros(4, np.float32), None, None
+
+        def synthesize_batch(self, texts, speaker_ids=None):
+            calls.append(("batch", len(texts)))
+            wavs = [np.zeros(4, np.float32)] * len(texts)
+            return wavs, None, None
+
+    class WarmStreamer:
+        def stream(self, text, speaker_id=-1):
+            calls.append(("stream", 1))
+            yield np.zeros(4, np.float32)
+
+        def stream_batch(self, texts, speaker_ids=None):
+            calls.append(("stream_batch", len(texts)))
+            yield [np.zeros(4, np.float32)] * len(texts)
+
+    args = SimpleNamespace(dynamic_batch=4)
+    _warmup(WarmSynth(), WarmStreamer(), args)
+    assert ("synthesize", False) in calls and ("synthesize", True) in calls
+    assert ("batch", 4) in calls
+    assert ("stream", 1) in calls and ("stream_batch", 4) in calls
