@@ -146,12 +146,17 @@ class TextToSpeech:
         return self.synthesizer.cfg
 
     def synthesize(self, text: str, speaker_id: int = -1,
-                   temperature: float = 1.0, return_gl: bool = False):
+                   temperature: float = 1.0, return_gl: bool = False,
+                   want_features=True):
         """Returns (wav, mel, lin), or (wav, mel, lin, wav_gl) with
         ``return_gl`` — the Griffin-Lim waveform is computed either way
         (its endpoint trims the vocoder input), so asking for it is
-        free."""
-        wav_gl, mel, lin = self.synthesizer.synthesize(text, speaker_id)
+        free. ``want_features=False`` skips the full-resolution linear
+        pull (lin comes back None); the mel is always pulled — the
+        vocoder consumes it."""
+        wav_gl, mel, lin = self.synthesizer.synthesize(
+            text, speaker_id,
+            want_features=True if want_features else "mel")
         if self.vocoder is None:
             return ((wav_gl, mel, lin, wav_gl) if return_gl
                     else (wav_gl, mel, lin))

@@ -124,24 +124,25 @@ class Synthesizer:
         return self
 
     def synthesize(self, text: str, speaker_id: int = -1,
-                   want_features: bool = True
+                   want_features=True
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (waveform float32, mel [T,M], linear [T,F]).
         ``want_features=False`` skips the mel/linear device->host pulls
-        (returns None for both) — the wav-only serving routes save the
-        full-resolution linear transfer, the dominant cost per request
-        on a remote-relay chip."""
+        (returns None for both); ``"mel"`` pulls the mel but skips the
+        full-resolution linear — the wav-only/vocoder serving routes
+        save the dominant per-request transfer on a remote-relay chip."""
         wavs, mels, lins = self.synthesize_batch(
             [text], [speaker_id], want_features=want_features)
         return (wavs[0], mels[0] if mels is not None else None,
                 lins[0] if lins is not None else None)
 
     def synthesize_batch(self, texts, speaker_ids=None,
-                         want_features: bool = True):
+                         want_features=True):
         """Batch synthesis: one padded forward + vmapped Griffin-Lim for N
         texts. Returns (list of waveforms, mels [N,T,M], linears [N,T,F]);
-        the feature arrays are None with ``want_features=False`` (their
-        pulls are skipped)."""
+        the feature arrays are None with ``want_features=False``, and the
+        linear alone is None with ``want_features="mel"`` (skipped
+        pulls)."""
         if self._forward is None:
             raise RuntimeError("Synthesizer.load() or set_variables() first")
         if speaker_ids is None:
@@ -177,5 +178,7 @@ class Synthesizer:
             out_wavs.append(wav[: dsp.find_endpoint(wav, self.cfg)])
         if not want_features:
             return out_wavs, None, None
+        if want_features == "mel":
+            return out_wavs, np.asarray(mels[: len(texts)]), None
         return (out_wavs, np.asarray(mels[: len(texts)]),
                 np.asarray(lins[: len(texts)]))

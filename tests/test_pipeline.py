@@ -95,3 +95,35 @@ def test_device_upsample_matches_host(rng):
     dev = np.asarray(_upsample_on_device(jnp.asarray(frames[None]),
                                          hop, length))[0]
     np.testing.assert_allclose(host, dev, rtol=1e-6, atol=1e-6)
+
+
+def test_want_features_mel_skips_linear():
+    """want_features='mel' pulls the mel (the vocoder consumes it) but
+    not the full-resolution linear — the dominant per-request transfer."""
+    import jax
+    import numpy as np
+
+    from nspeech_tpu.config import load_config
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.serving import Synthesizer
+
+    cfg = load_config("taco2")
+    cfg.parse("max_iters=6,outputs_per_step=2,encoder_conv_layers=1,"
+              "postnet_conv_layers=2,postnet_conv_width=3,"
+              "expand_conv_layers=1,encoder_conv_channels=16,"
+              "attention_dim=16,postnet_conv_channels=16,"
+              "expand_conv_channels=16,decoder_lstm_units=16,"
+              "encoder_lstm_units=8,expand_lstm_units=8,embedding_dim=16,"
+              "griffin_lim_iters=1")
+    model = create_model("taco2", cfg)
+    params, bn = model.init(jax.random.PRNGKey(0))
+    syn = Synthesizer(cfg, text_bucket=16).set_variables(params, bn,
+                                                         model=model)
+    wav_all, mel_all, lin_all = syn.synthesize("hello")
+    wav, mel, lin = syn.synthesize("hello", want_features="mel")
+    assert lin is None and lin_all is not None
+    np.testing.assert_array_equal(mel, mel_all)
+    np.testing.assert_array_equal(wav, wav_all)
+    wav2, mel2, lin2 = syn.synthesize("hello", want_features=False)
+    assert mel2 is None and lin2 is None
+    np.testing.assert_array_equal(wav2, wav_all)
