@@ -129,13 +129,118 @@ def render_char(c: str, dur: float, sample_rate: int,
     return wav + 0.003 * rng.standard_normal(n)
 
 
+# --- formant style: speech-LIKE phones instead of chirped tones -------------
+#
+# Each character still has a unique, learnable acoustic fingerprint (the
+# alignment-learnability requirement), but the signal class matches real
+# speech: a harmonic glottal source under a two-formant spectral
+# envelope for vowels and voiced consonants, band-limited noise
+# fricatives and stop bursts for unvoiced consonants, and a sentence-
+# level F0 declination — so the mels the model learns on carry formant
+# structure, wideband noise, and transients rather than pure tones.
+
+_UNVOICED = set("ptkfsh")
+_VOWEL_FORMANTS = {  # (F1, F2) Hz — spread across the vowel space
+    "a": (800, 1200), "e": (550, 1900), "i": (300, 2300),
+    "o": (500, 900), "u": (320, 750),
+}
+
+
+def _consonant_formants(c: str) -> tuple[float, float]:
+    """Distinct (F1, F2) per voiced consonant, spread geometrically and
+    decorrelated by coprime strides so no two consonants share a pair."""
+    idx = ord(c) - ord("a")
+    f1 = 250.0 * (900.0 / 250.0) ** (((idx * 7) % 21) / 20.0)
+    f2 = 900.0 * (2400.0 / 900.0) ** (((idx * 11) % 21) / 20.0)
+    return f1, f2
+
+
+def render_char_formant(c: str, dur: float, sample_rate: int,
+                        rng: np.random.Generator, pos01: float = 0.0,
+                        f_scale: float = 1.0,
+                        h_tilt: float = 1.0) -> np.ndarray:
+    """Render one character as a speech-like phone.
+
+    Voiced phones: harmonics of a declining F0 weighted by a
+    char-specific two-formant envelope (vocal-tract analog; the
+    speaker's ``f_scale`` shifts the formants — vocal-tract length —
+    and ``h_tilt`` tilts the source spectrum). Unvoiced consonants:
+    char-band-filtered noise, with a stop-like silence+burst onset for
+    p/t/k. ``pos01`` is the character's position in the sentence (0..1)
+    driving the F0 declination — prosody the decoder must carry across
+    the utterance."""
+    n = int(dur * sample_rate)
+    t = np.arange(n) / sample_rate
+    if c == " ":
+        return 0.002 * rng.standard_normal(n)
+    if c in ",.?!":
+        return 0.002 * rng.standard_normal(n)
+    idx = ord(c) - ord("a")
+    ramp = min(n // 8, int(0.008 * sample_rate)) or 1
+    env = np.ones(n)
+    env[:ramp] = np.linspace(0, 1, ramp)
+    env[-ramp:] = np.linspace(1, 0, ramp)
+
+    if c in _UNVOICED:
+        # fricative: noise through a char-specific band (one-pole-ish
+        # shaping via FFT mask — cheap and deterministic)
+        center = 1500.0 * (6000.0 / 1500.0) ** (((idx * 5) % 6) / 5.0)
+        width = 0.35 * center
+        noise = rng.standard_normal(n)
+        spec = np.fft.rfft(noise)
+        freqs = np.fft.rfftfreq(n, 1.0 / sample_rate)
+        spec *= np.exp(-0.5 * ((freqs - center * f_scale) / width) ** 2)
+        wav = np.fft.irfft(spec, n)
+        wav = 0.35 * wav / (np.abs(wav).max() + 1e-6)
+        if c in "ptk":
+            # stop: closure silence then a burst transient
+            gate = np.zeros(n)
+            burst = max(int(0.25 * n), 1)
+            gate[-burst:] = np.linspace(1.0, 0.3, burst)
+            wav = wav * gate * 1.6
+        return wav * env + 0.003 * rng.standard_normal(n)
+
+    # voiced: F0 declines over the sentence (prosody), slight vibrato
+    f0 = 175.0 * (0.72 ** pos01) * (1.0 + 0.015 * np.sin(2 * np.pi * 5 * t))
+    phase0 = 2 * np.pi * np.cumsum(f0) / sample_rate
+    if c in _VOWEL_FORMANTS:
+        f1, f2 = _VOWEL_FORMANTS[c]
+    else:
+        f1, f2 = _consonant_formants(c)
+        env = env * (0.55 if c in "bdg" else 0.8)   # weaker than vowels
+    f1, f2 = f1 * f_scale, f2 * f_scale
+    wav = np.zeros(n)
+    base_f0 = 175.0 * 0.72 ** pos01
+    n_harm = int(min(22, (sample_rate / 2 - 200) // base_f0))
+    for k in range(1, n_harm + 1):
+        fk = k * base_f0
+        # two-formant envelope + source tilt (h_tilt > 1 = brighter)
+        a = (np.exp(-0.5 * ((fk - f1) / (0.25 * f1 + 60)) ** 2)
+             + 0.7 * np.exp(-0.5 * ((fk - f2) / (0.20 * f2 + 80)) ** 2)
+             + 0.03)
+        a *= (k ** (-1.0 / max(h_tilt, 1e-3)))
+        wav += a * np.sin(k * phase0)
+    wav = 0.45 * wav / (np.abs(wav).max() + 1e-6)
+    return wav * env + 0.003 * rng.standard_normal(n)
+
+
 def render_text(text: str, sample_rate: int, rng: np.random.Generator,
-                f_scale: float = 1.0, h_tilt: float = 1.0) -> np.ndarray:
-    parts = [
-        render_char(c, _char_base_dur(c) * rng.uniform(0.75, 1.3),
-                    sample_rate, rng, f_scale=f_scale, h_tilt=h_tilt)
-        for c in text
-    ]
+                f_scale: float = 1.0, h_tilt: float = 1.0,
+                style: str = "words") -> np.ndarray:
+    if style == "formant":
+        L = max(len(text) - 1, 1)
+        parts = [
+            render_char_formant(c, _char_base_dur(c) * rng.uniform(0.75, 1.3),
+                                sample_rate, rng, pos01=i / L,
+                                f_scale=f_scale, h_tilt=h_tilt)
+            for i, c in enumerate(text)
+        ]
+    else:
+        parts = [
+            render_char(c, _char_base_dur(c) * rng.uniform(0.75, 1.3),
+                        sample_rate, rng, f_scale=f_scale, h_tilt=h_tilt)
+            for c in text
+        ]
     return np.clip(np.concatenate(parts), -1.0, 1.0)
 
 
@@ -146,7 +251,7 @@ def make_sentence(rng: np.random.Generator, style: str = "words") -> str:
     and per-step attention is the only way to know what to say next (the
     lexicon corpus was observed to train a summary-token shortcut: sharp
     attention parked on the last encoder positions)."""
-    if style == "chars":
+    if style in ("chars", "formant"):  # formant keeps high-entropy text
         n_words = int(rng.integers(8, 14))
         words = ["".join(chr(ord("a") + int(rng.integers(0, 26)))
                          for _ in range(int(rng.integers(2, 7))))
@@ -176,7 +281,7 @@ def make_corpus(out_dir: str, n: int = 400, sample_rate: int = 20000,
             spk = i % speakers
             f_scale, h_tilt = speaker_voice(spk, speakers)
             wav = render_text(text, sample_rate, rng,
-                              f_scale=f_scale, h_tilt=h_tilt)
+                              f_scale=f_scale, h_tilt=h_tilt, style=style)
             base = "p%03d_%04d" % (spk + 1, i)
             wav_dir = os.path.join(out_dir, "wav48", "p%03d" % (spk + 1))
             txt_dir = os.path.join(out_dir, "txt", "p%03d" % (spk + 1))
@@ -189,7 +294,7 @@ def make_corpus(out_dir: str, n: int = 400, sample_rate: int = 20000,
                 f.write(text + "\n")
         else:
             utt_id = "ALN%04d" % i
-            wav = render_text(text, sample_rate, rng)
+            wav = render_text(text, sample_rate, rng, style=style)
             wavfile.write(os.path.join(out_dir, "wavs", utt_id + ".wav"),
                           sample_rate, (wav * 32767).astype(np.int16))
             lines.append(f"{utt_id}|{text}|{text}")
