@@ -266,8 +266,10 @@ def bench_streaming_first_audio():
     (serving/streaming.py): seconds from the stream() call until the
     first waveform chunk is on host. A random-init model never stops,
     so the decoder would run its full budget in the one-shot path —
-    streaming yields its first 0.5 s chunk after ~3 decoder chunks
-    instead. Returns best-of-3 seconds."""
+    streaming yields its first 0.5 s chunk after ONE prefix dispatch
+    (encoder + first decoder steps + first postnet rows) plus one fused
+    vocoder launch. Returns (best-of-3 first-audio seconds, batch-8
+    aggregate real-time factor)."""
     import nspeech_tpu.config as config
     from nspeech_tpu.models import create_model
     from nspeech_tpu.serving.pipeline import WaveNetVocoder
