@@ -79,13 +79,18 @@ class StreamingTTS:
     ``chunk_frames`` mel frames are emitted per waveform chunk (must be
     a multiple of ``outputs_per_step``). The stream lags the decoder
     head by ``chunk_frames + postnet_halo + 1`` frames — the exactness
-    window — and yields ``chunk_frames * hop`` samples per chunk (the
-    final chunk trimmed to the utterance end).
+    window. The FIRST chunk carries ``chunk_frames * hop`` samples
+    (time-to-first-audio); later chunks double in length up to
+    ``growth`` times that (``growth=1`` keeps them fixed), amortizing
+    the fixed per-launch dispatch cost over more audio — the output is
+    IDENTICAL for any schedule (the vocoder is causal with absolute
+    sample positions; only the yield boundaries move). The final chunk
+    is trimmed to the utterance end.
     """
 
     def __init__(self, synth, vocoder, chunk_frames: int = 40,
                  temperature: float = 1.0, text_bucket: int = 32,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, growth: int = 4):
         if vocoder is None or vocoder.net is None:
             raise ValueError("StreamingTTS requires a loaded WaveNet "
                              "vocoder (Griffin-Lim cannot be streamed)")
@@ -147,8 +152,28 @@ class StreamingTTS:
             self._V = max(LANE, self.k * self._hop // LANE * LANE)
         else:
             self._V = self.k * self._hop
-        self._W = self._V // self._hop + 3   # static lc window frames
+        # Launch-size schedule: the FIRST vocoder launch stays at V (it
+        # gates time-to-first-audio), then launches double up to
+        # growth*V. Every launch pays a fixed cost that is independent
+        # of its length (relay/dispatch round trip, host pull, Python)
+        # — on the measured chip ~80 ms against ~100 ms of kernel time
+        # for a 0.5 s launch — so doubling amortizes that cost over 2x/
+        # 4x more audio and lifts the SUSTAINED rate toward the
+        # kernel's serial capacity, while the client's buffer (filled
+        # faster than real time from chunk 1) rides out the longer
+        # inter-chunk gaps. growth=1 restores fixed-size launches.
+        self._growth = max(1, int(growth))
+        self._Vs = [self._V]
+        while self._Vs[-1] < self._V * self._growth:
+            self._Vs.append(min(self._Vs[-1] * 2, self._V * self._growth))
+        self._W = self._V // self._hop + 3   # FIRST launch's lc window
         self._jit_programs()
+
+    def _W_of(self, V: int) -> int:
+        """Static lc window frames for a V-sample launch: every sample
+        in [s0, s0+V) interpolates rows floor(pos/hop) and +1, and s0
+        need not be frame-aligned — V//hop + 3 covers the worst case."""
+        return V // self._hop + 3
 
     # -- jitted chunk programs (compiled once per text bucket) ---------------
 
@@ -169,13 +194,15 @@ class StreamingTTS:
                 initial_finished=lengths < 1)   # batch-padding rows
             return ctx, out0, carry
 
-        @jax.jit
-        def dec_chunk(ctx, carry):
-            step = model.make_eval_step(params, ctx)
-            (outs, _aligns), carry = D.scan_autoregressive_chunk(
-                step, carry, k_steps, num_mels,
-                stop_threshold=self._stop)
-            return outs, carry
+        def make_dec(m):
+            @jax.jit
+            def dec_chunk(ctx, carry):
+                step = model.make_eval_step(params, ctx)
+                (outs, _aligns), carry = D.scan_autoregressive_chunk(
+                    step, carry, m * k_steps, num_mels,
+                    stop_threshold=self._stop)
+                return outs, carry
+            return dec_chunk
 
         # First-window prefix: encoder + the decoder steps and postnet
         # rows the FIRST wav chunk needs, in ONE program. Dispatch
@@ -213,32 +240,48 @@ class StreamingTTS:
                 mel0 = win
             return ctx, carry, dec0, mel0[:, :W]
 
-        @jax.jit
-        def mel_chunk(window, crop):
-            # window: [1, k + 2*halo, M] carved from inside the decode
-            # buffer (or [1, B, M] in whole-buffer fallback); ``crop`` is
-            # the (traced) offset of the k emitted frames inside it
-            if hasattr(model, "postnet_residual"):
-                res = model.postnet_residual(params, bn, window)
-                mel = window + res
-            else:
-                mel = window
-            return jax.lax.dynamic_slice_in_dim(mel, crop, k, axis=1)
+        def make_mel(m):
+            @jax.jit
+            def mel_chunk(window, crop):
+                # window: [N, m*k + 2*halo, M] carved from inside the
+                # decode buffer (or [N, B, M] in whole-buffer fallback);
+                # ``crop`` is the (traced) offset of the m*k emitted
+                # frames inside it
+                if hasattr(model, "postnet_residual"):
+                    res = model.postnet_residual(params, bn, window)
+                    mel = window + res
+                else:
+                    mel = window
+                return jax.lax.dynamic_slice_in_dim(mel, crop, m * k,
+                                                    axis=1)
+            return mel_chunk
 
         from nspeech_tpu.dsp import mu_law_decode
 
-        V = self._V
+        def make_voc(V):
+            @jax.jit
+            def voc_chunk(carry, mel_window, f0, s0, total_frames, gc_ids):
+                lc = _upsample_abs(mel_window, f0, s0, hop, V, total_frames)
+                codes, carry = self.net.generate_chunk(
+                    self._vparams, carry, V, jax.random.PRNGKey(0),
+                    gc_ids=gc_ids, lc=lc, temperature=self._temperature)
+                return (mu_law_decode(codes, self.net.quantization_channels),
+                        carry)
+            return voc_chunk
 
-        @jax.jit
-        def voc_chunk(carry, mel_window, f0, s0, total_frames, gc_ids):
-            lc = _upsample_abs(mel_window, f0, s0, hop, V, total_frames)
-            codes, carry = self.net.generate_chunk(
-                self._vparams, carry, V, jax.random.PRNGKey(0),
-                gc_ids=gc_ids, lc=lc, temperature=self._temperature)
-            return mu_law_decode(codes, self.net.quantization_channels), carry
+        # One program per ramp size for every chained stage (jit is
+        # lazy — only sizes a stream actually reaches compile). The
+        # decoder/postnet multipliers mirror the vocoder launch ramp:
+        # per-iteration fixed costs (dispatch round trip + the postnet
+        # output pull) dominate the steady state on a remote-dispatch
+        # chip, so once first audio is out the pipeline advances in
+        # growth-times-larger chunks at every stage.
+        self._Ms = [max(1, Vn // self._V) for Vn in self._Vs]
+        self._voc_chunks = {Vn: make_voc(Vn) for Vn in self._Vs}
+        self._dec_chunks = {m: make_dec(m) for m in self._Ms}
+        self._mel_chunks = {m: make_mel(m) for m in self._Ms}
 
-        self._start, self._dec_chunk = start, dec_chunk
-        self._mel_chunk, self._voc_chunk = mel_chunk, voc_chunk
+        self._start = start
         self._prefix = prefix
 
     def _pallas_gen(self, gc_key, batch: int):
@@ -258,7 +301,9 @@ class StreamingTTS:
             while len(self._pallas_gens) >= 8:
                 old_key, old_gen = next(iter(self._pallas_gens.items()))
                 self._pallas_gens.pop(old_key)
-                self._pallas_vocs.pop(id(old_gen), None)
+                self._pallas_vocs = {k: v for k, v in
+                                     self._pallas_vocs.items()
+                                     if k[0] != id(old_gen)}
             self._pallas_gens[(gc_key, batch)] = PallasWaveNetGenerator(
                 self.net, self._vparams, gc_ids=gc)
         else:  # LRU refresh
@@ -266,19 +311,21 @@ class StreamingTTS:
                 (gc_key, batch))
         return self._pallas_gens[(gc_key, batch)]
 
-    def _pallas_voc(self, gc_key, batch: int):
-        """ONE jitted program per launch: lc upsample -> streaming kernel
-        -> mu-law decode. Composing through generate_chunk instead would
-        eagerly dispatch the lc layout transforms and the decode per
-        launch — several extra device round trips that dominate on a
-        remote-relay chip."""
+    def _pallas_voc(self, gc_key, batch: int, V: Optional[int] = None):
+        """ONE jitted program per (launch size, gc key): lc upsample ->
+        streaming kernel -> mu-law decode. Composing through
+        generate_chunk instead would eagerly dispatch the lc layout
+        transforms and the decode per launch — several extra device
+        round trips that dominate on a remote-relay chip."""
         gen = self._pallas_gen(gc_key, batch)
-        key = id(gen)
+        if V is None:
+            V = self._V
+        key = (id(gen), V)
         if key not in self._pallas_vocs:
             from nspeech_tpu.dsp import mu_law_decode
             from nspeech_tpu.ops.pallas.wavenet_gen import LANE
 
-            V, hop, M = self._V, self._hop, self.net.lc_channels
+            hop, M = self._hop, self.net.lc_channels
             n_chunks = V // LANE
             deterministic = self._temperature <= 0.0
             fn = gen._get_fn(batch, n_chunks, 0, self._temperature,
@@ -392,11 +439,19 @@ class StreamingTTS:
             mel_head = 0
         use_pallas = self._use_pallas
         if use_pallas:
-            pvoc = self._pallas_voc(gc_key, N)
+            pvocs = {Vn: self._pallas_voc(gc_key, N, Vn)
+                     for Vn in self._Vs}
             voc_carry = self._pallas_gen(gc_key, N).chunk_carry0(N)
         else:
             voc_carry = self.net.generate_carry0(batch=N)
-        V, W, hop = self._V, self._W, self._hop
+        hop = self._hop
+        launches = 0                   # ramp position (see __init__)
+
+        def next_V() -> int:
+            """Sample length of the NEXT vocoder launch: V for the
+            first (time-to-first-audio), then doubling to growth*V."""
+            return self._Vs[min(launches, len(self._Vs) - 1)]
+
         s = 0                          # next SAMPLE to vocode (lockstep)
         budget = cfg.max_iters
         # per-stream frame totals, known once that row's stop frame fires
@@ -415,35 +470,51 @@ class StreamingTTS:
                 stops = np.minimum(np.asarray(carry[4]), budget)
                 row_total = np.where(row_done, stops * r, B)
 
+        def mel_m() -> int:
+            """Postnet window multiplier: 1 until first audio is out,
+            then the largest ramp multiplier whose window fits in B."""
+            m = 1 if launches == 0 else self._Ms[-1]
+            while m > 1 and (m * k + 2 * halo > B or m not in self._Ms):
+                m //= 2
+            return m
+
         def mel_ready(upto):
             """Extend the postnet'ed mel to cover frames [0, upto).
             Windows are carved from WITHIN the [0, B) decode buffer so
             their 0/B edges coincide with the true sequence boundaries
             (per-layer conv SAME padding then matches the one-shot
-            postnet exactly); interior edges keep a full ``halo`` crop."""
+            postnet exactly); interior edges keep a full ``halo`` crop.
+            Window size rides the ramp (postnet windows of ANY size
+            with halo crops are exact — only the carve points move)."""
             nonlocal mel_head
             while mel_head < upto:
                 b = mel_head
+                m = mel_m()
+                km = m * k
                 if self._whole_postnet:
                     w0, win = 0, dec
                 else:
-                    w0 = min(max(b - halo, 0), B - (k + 2 * halo))
-                    win = dec[:, w0: w0 + k + 2 * halo]
-                # dynamic_slice CLAMPS an out-of-range start (crop+k must
-                # stay inside the window, or rows silently repeat): cap
-                # the crop and index the wanted rows past it on host —
-                # matters when mel_head is not k-aligned (prefix path)
-                crop = min(b - w0, win.shape[1] - k)
+                    w0 = min(max(b - halo, 0), B - (km + 2 * halo))
+                    win = dec[:, w0: w0 + km + 2 * halo]
+                # dynamic_slice CLAMPS an out-of-range start (crop+km
+                # must stay inside the window, or rows silently repeat):
+                # cap the crop and index the wanted rows past it on host
+                # — matters when mel_head is not km-aligned (prefix path)
+                crop = min(b - w0, win.shape[1] - km)
                 off = (b - w0) - crop
-                out = self._mel_chunk(jnp.asarray(win),
-                                      jnp.asarray(crop, jnp.int32))
-                n = min(k, B - b)
+                out = self._mel_chunks[m](jnp.asarray(win),
+                                          jnp.asarray(crop, jnp.int32))
+                n = min(km, B - b)
                 mel[:, b: b + n] = np.asarray(out)[:, off: off + n]
                 mel_head = b + n
 
         def vocode_next():
-            """Vocode samples [s, s+V) for all streams; device [N, V]."""
-            nonlocal s, voc_carry
+            """Vocode samples [s, s+V) for all streams, V from the ramp
+            schedule; returns ``(device wav [N, V], launch start s0)``."""
+            nonlocal s, voc_carry, launches
+            V = next_V()
+            W = self._W_of(V)
+            launches += 1
             f0 = s // hop
             fe = (s + V) // hop + 2        # highest frame row touched
             mel_ready(min(fe + 1,
@@ -460,7 +531,7 @@ class StreamingTTS:
             clip_total = total_max if total_max is not None else fe + 2
             if use_pallas:
                 t0, rings, oh, cc = voc_carry
-                wav, rings, oh, cc = pvoc(
+                wav, rings, oh, cc = pvocs[V](
                     rings, oh, cc, jnp.asarray(win),
                     jnp.asarray(f0, jnp.int32), jnp.asarray(s, jnp.int32),
                     jnp.asarray([t0], jnp.int32),
@@ -468,12 +539,12 @@ class StreamingTTS:
                     jnp.asarray([s], jnp.int32))
                 voc_carry = (t0 + V, rings, oh, cc)
             else:
-                wav, voc_carry = self._voc_chunk(
+                wav, voc_carry = self._voc_chunks[V](
                     voc_carry, jnp.asarray(win),
                     jnp.asarray(f0, jnp.int32), jnp.asarray(s, jnp.int32),
                     jnp.asarray(clip_total, jnp.int32), gc)
-            s += V
-            return wav       # device array [N, V]; pulled by deliver()
+            s0, s = s, s + V
+            return wav, s0   # device array; pulled by deliver()
 
         # Launch pipelining: chunk i's host pull rides under chunk i+1's
         # device time. The FIRST chunk is pulled immediately (time to
@@ -489,7 +560,7 @@ class StreamingTTS:
             for i in range(n_real):
                 if row_done[i]:
                     end = int(row_total[i]) * hop
-                    m = min(V, end - s0)
+                    m = min(wav.shape[1], end - s0)
                     out.append(wav[i, :m] if m > 0 else None)
                 else:
                     out.append(wav[i])
@@ -502,7 +573,7 @@ class StreamingTTS:
             # below must vocode it with the true (binding) frame clip
             pull_stops()
             if not row_done.all():
-                item = (vocode_next(), s - V)       # s advanced inside
+                item = vocode_next()
                 first_sent = True
                 yield deliver(item)
 
@@ -512,9 +583,10 @@ class StreamingTTS:
                 break
             # emit every chunk whose exactness window is decoded: the lc
             # window needs postnet'ed rows through (s+V)//hop + 2, and
-            # postnet'ing row b needs decoded rows through b + k + halo
-            while head >= min((s + V) // hop + 3 + k + halo, B):
-                item = (vocode_next(), s - V)       # s advanced inside
+            # postnet'ing row b needs decoded rows through b + m*k + halo
+            while head >= min((s + next_V()) // hop + 3
+                              + mel_m() * k + halo, B):
+                item = vocode_next()
                 if not first_sent:
                     first_sent = True
                     yield deliver(item)             # first audio: no hold
@@ -522,13 +594,17 @@ class StreamingTTS:
                     if pending is not None:
                         yield deliver(pending)
                     pending = item
-            outs, carry = self._dec_chunk(ctx, carry)
+            # decoder chunk multiplier rides the ramp too: 1 until first
+            # audio is out (it gates time-to-first-audio), then max —
+            # scan chunking is exact for any step count
+            m_dec = 1 if launches == 0 else self._Ms[-1]
+            outs, carry = self._dec_chunks[m_dec](ctx, carry)
             got = np.asarray(D.assemble_outputs(outs, cfg.num_mels))
             n = min(got.shape[1], B - head)  # budget overshoot frames do
             if n > 0:                        # not exist in the one-shot
                 dec[:, head: head + n] = got[:, :n]  # buffer — drop them
             head = min(head + got.shape[1], B)
-            steps_done += self._k_steps
+            steps_done += m_dec * self._k_steps
 
         pull_stops()
         row_total = np.minimum(np.asarray(carry[4]), budget) * r
@@ -536,7 +612,7 @@ class StreamingTTS:
         total_max = int(row_total.max())
         samples_total = total_max * hop
         while s < samples_total:
-            item = (vocode_next(), s - V)           # s advanced inside
+            item = vocode_next()
             if not first_sent:
                 first_sent = True
                 yield deliver(item)

@@ -539,3 +539,32 @@ def test_stream_batch_accepts_none_speaker():
     a = tts.synthesize_batch(["hello world"], [None])[0]
     b = tts.synthesize_batch(["hello world"], [-1])[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_stream_growth_schedule_equivalence():
+    """The ramped launch schedule (first chunk small, later chunks
+    doubling to growth*V) yields the SAME concatenated waveform as
+    fixed-size launches — the vocoder is causal with absolute sample
+    positions, so only the yield boundaries move — while issuing fewer
+    vocoder launches."""
+    from nspeech_tpu.serving.streaming import StreamingTTS
+
+    synth, vocoder = _micro_tts()
+    text = "hello world"
+    fixed = StreamingTTS(synth, vocoder, chunk_frames=2, temperature=0.0,
+                         text_bucket=16, growth=1)
+    ramped = StreamingTTS(synth, vocoder, chunk_frames=2, temperature=0.0,
+                          text_bucket=16, growth=4)
+    assert len(ramped._Vs) == 3                       # V, 2V, 4V
+    assert fixed._Vs == [fixed._V]
+    assert ramped._Vs[0] == fixed._V
+    chunks_fixed = list(fixed.stream(text))
+    chunks_ramped = list(ramped.stream(text))
+    assert len(chunks_ramped) < len(chunks_fixed)     # really amortized
+    # first chunk identical (time-to-first-audio unchanged)
+    assert chunks_ramped[0].shape == chunks_fixed[0].shape
+    np.testing.assert_allclose(
+        np.concatenate(chunks_ramped), np.concatenate(chunks_fixed),
+        atol=1e-6)
+    # mel-level state identical too
+    np.testing.assert_allclose(ramped.last_mel, fixed.last_mel, atol=0)
