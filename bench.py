@@ -97,7 +97,11 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
     # measured ~45s of pure deserialize+transfer per duplicate load.
     step_flops = None
     try:
-        compiled = step_fn.lower(state, batch, jax.random.PRNGKey(9)).compile()
+        _phase("  taco2: lowering")
+        lowered = step_fn.lower(state, batch, jax.random.PRNGKey(9))
+        _phase("  taco2: compiling (or persistent-cache load)")
+        compiled = lowered.compile()
+        _phase("  taco2: compiled")
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
@@ -113,6 +117,7 @@ def bench_taco2_train(batch_size: int = 32, t_in: int = 160, t_out: int = 400,
     for i in range(2):
         state, metrics = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
         float(metrics["loss"])
+    _phase("  taco2: warm, timing steps")
 
     # Sustained rate: dispatch a CHAIN of steps and sync ONCE at the end,
     # exactly like a real training loop (which reads metrics every k
@@ -348,25 +353,24 @@ def _phase(name: str) -> None:
           file=sys.stderr, flush=True)
 
 
-def _over_budget(budget_s: float) -> bool:
-    """True once the soft wall-clock budget is spent.
+def _fits(budget_s: float, est_s: float, name: str) -> bool:
+    """Start a phase only if its worst-case cost fits the wall budget.
 
     The driver wraps ``python bench.py`` in a hard timeout; getting
-    SIGKILLed mid-metric records rc=124 and voids the whole run, so the
-    bench skips the remaining (least-important) phases and exits 0
-    instead. Phases are ordered most-important-first; the skip is loud."""
+    SIGKILLed mid-metric records rc=124 and voids the whole run, so each
+    phase starts only when ``elapsed + worst-case estimate`` stays inside
+    the budget, and is skipped loudly otherwise (exit stays 0, the
+    already-emitted metrics stand). Phases are ordered
+    most-important-first so a slow relay sheds the least valuable rows.
+    Estimates are worst cases measured on this testbed's relay, whose
+    compile/executable-load service varies ~5x run to run."""
     elapsed = time.monotonic() - _BENCH_T0
-    if elapsed > budget_s:
-        if not _over_budget.warned:
-            _over_budget.warned = True
-            print("bench: [t=%.0fs] over the %.0fs soft budget -- skipping "
-                  "remaining phases (set NSPEECH_BENCH_BUDGET_S to raise)"
-                  % (elapsed, budget_s), file=sys.stderr, flush=True)
+    if elapsed + est_s <= budget_s:
         return True
+    print("bench: [t=%.0fs] skipping %s (worst-case ~%.0fs would pass the "
+          "%.0fs budget; set NSPEECH_BENCH_BUDGET_S to raise)"
+          % (elapsed, name, est_s, budget_s), file=sys.stderr, flush=True)
     return False
-
-
-_over_budget.warned = False
 
 
 def _require_live_relay() -> None:
@@ -417,11 +421,17 @@ def main() -> None:
     _require_live_relay()
     # Persistent XLA compilation cache: a bench invocation with
     # already-seen programs (e.g. the driver's round-end run after a
-    # warm-up) skips the multi-minute big-model compiles.
+    # warm-up) skips the multi-minute big-model compiles. JAX_PLATFORMS=cpu
+    # must be forwarded into the live config: this testbed's sitecustomize
+    # forces the axon TPU platform at interpreter start, so the env var
+    # alone does NOT stick — without this a "CPU" bench run would silently
+    # hammer the shared relay (and hang forever if the relay is dead,
+    # which _require_live_relay skipped checking on the env var's word).
     from nspeech_tpu.utils.platform import set_platform
-    set_platform(None)
+    env_platforms = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    set_platform("cpu" if env_platforms == "cpu" else None)
 
-    budget_s = float(os.environ.get("NSPEECH_BENCH_BUDGET_S", "480"))
+    budget_s = float(os.environ.get("NSPEECH_BENCH_BUDGET_S", "1140"))
 
     _phase("taco2 train (headline)")
     frames_per_sec, sec_per_step, mfu = bench_taco2_train(
@@ -440,14 +450,14 @@ def main() -> None:
     # WaveNet TRAINING throughput — the reference's second trainer
     # (train_wavenet.py) — emitted by default so every driver-captured
     # bench file carries training AND sampling numbers for both families.
-    if not _over_budget(budget_s):
+    if _fits(budget_s, 90, "wavenet train"):
         _phase("wavenet train")
         rate_tr = bench_wavenet_train(steps=args.steps,
                                       precision=args.precision)
         _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
               "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
               args.precision)
-    if not _over_budget(budget_s):
+    if _fits(budget_s, 60, "wavenet train (mel-conditioned)"):
         _phase("wavenet train (mel-conditioned)")
         rate_tr_lc = bench_wavenet_train(steps=args.steps,
                                          precision=args.precision,
@@ -465,7 +475,7 @@ def main() -> None:
               "(TPU-only; backend is %s)" % jax.default_backend(),
               file=sys.stderr)
     sec_utt = None
-    if on_tpu and not _over_budget(budget_s):
+    if on_tpu and _fits(budget_s, 120, "pallas sampling"):
         _phase("pallas sampling")
         rate, rtf = bench_wavenet_generate(batch=1)
         _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),
@@ -474,7 +484,7 @@ def main() -> None:
         _emit("wavenet_pallas_batch8_samples_per_sec_per_chip",
               round(rate8, 1), "samples/sec/chip", round(rtf8 / 5.0, 4),
               "float32")
-    if on_tpu and not _over_budget(budget_s):
+    if on_tpu and _fits(budget_s, 400, "taco2 serving latency"):
         # Serving latency at the full decode budget (see bench_taco2_serving
         # docstring); vs_baseline = decoded-audio-seconds / latency, i.e.
         # how many times faster than real time the serving path runs. The
@@ -486,7 +496,7 @@ def main() -> None:
               "sec", round(audio_secs / sec_utt, 2), args.precision)
         _emit("taco2_serving_wav_only_sec", round(sec_wav_only, 4),
               "sec", round(audio_secs / sec_wav_only, 2), args.precision)
-    if on_tpu and not _over_budget(budget_s):
+    if on_tpu and _fits(budget_s, 350, "streaming first-audio"):
         # Streaming serving: time-to-first-audio. vs_baseline = the
         # one-shot cap latency over TTFA (how much sooner the first
         # audio reaches the client). Guarded: a failure here must not
@@ -503,7 +513,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             print("bench: streaming first-audio metric failed: %s" % e,
                   file=sys.stderr)
-    if on_tpu and not _over_budget(budget_s):
+    if on_tpu and _fits(budget_s, 90, "mel-conditioned vocoder rate"):
         # Mel-conditioned vocode rate by slope over two mel lengths (the
         # relay's fixed dispatch + mel transfer cost would otherwise
         # dominate).
@@ -545,7 +555,7 @@ def main() -> None:
     # runs short. Guarded: policy metrics must not void the earlier rows.
     def _hp_join(*parts):
         return ",".join(p for p in parts if p)
-    if not _over_budget(budget_s):
+    if _fits(budget_s, 300, "bf16-policy variants"):
         _phase("bf16-policy variants")
         try:
             fps16, _, mfu16 = bench_taco2_train(
@@ -558,7 +568,7 @@ def main() -> None:
             if mfu16 is not None:
                 _emit("taco2_train_mfu_bf16", round(mfu16, 4),
                       "fraction_of_peak", None, "bfloat16_policy")
-            if not _over_budget(budget_s):
+            if _fits(budget_s, 80, "bf16-policy wavenet"):
                 rate_lc16 = bench_wavenet_train(
                     steps=args.steps, precision=args.precision, use_lc=True,
                     hparams="compute_dtype=bfloat16")
