@@ -383,18 +383,35 @@ def _require_live_relay() -> None:
     turn a driver bench invocation into a silent timeout. Testbed
     detection + probe live in nspeech_tpu.utils.relay (shared with
     __graft_entry__); on hosts with no axon markers this is a no-op."""
-    from nspeech_tpu.utils.relay import RELAY_HOST, RELAY_PORT, relay_dead
+    from nspeech_tpu.utils.relay import (RELAY_HOST, RELAY_PORT,
+                                         device_init_blocks, on_axon_testbed,
+                                         relay_dead)
 
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return  # explicit CPU run never touches the relay
-    if relay_dead():
+
+    def _bail(why: str) -> None:
         print(json.dumps({
             "metric": "taco2_train_mel_frames_per_sec_per_chip",
             "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
-            "error": "TPU relay unreachable (%s:%d): connection refused"
-                     % (RELAY_HOST, RELAY_PORT),
+            "error": "TPU relay unreachable (%s:%d): %s"
+                     % (RELAY_HOST, RELAY_PORT, why),
         }), flush=True)
         raise SystemExit(1)
+
+    if relay_dead():
+        _bail("connection refused")
+    # The port can accept while the tunnel behind the relay daemon is gone
+    # (the daemon is a byte pump to an external orchestrator); in that
+    # half-dead state backend init blocks forever with no error. Probe the
+    # real thing under a watchdog — on success the backend is initialized
+    # and cached, so this costs the bench nothing extra.
+    if on_axon_testbed():
+        _phase("probing device init (watchdog 90s)")
+        if device_init_blocks(90.0):
+            _bail("port accepts but backend init hung >90s "
+                  "(relay tunnel half-dead)")
+        _phase("device init OK")
 
 
 def main() -> None:

@@ -56,3 +56,40 @@ def relay_dead() -> bool:
     (``jax.devices()`` would block forever). False on foreign hosts —
     callers may then use real devices normally."""
     return on_axon_testbed() and port_refuses()
+
+
+def device_init_blocks(timeout_s: float = 60.0) -> bool:
+    """Touch ``jax.devices()`` under a watchdog; True when it hangs.
+
+    The port probe above cannot detect a HALF-DEAD relay: the daemon is a
+    dumb byte pump to an external orchestrator over its own stdin/stdout,
+    so when the upstream tunnel is gone the port still ACCEPTS but every
+    byte written into it vanishes — backend init then blocks forever with
+    no error (this exact state voided the round-3 bench record). The only
+    reliable probe is the real thing: run the first device touch on a
+    daemon thread and give up after ``timeout_s``.
+
+    Returns True when init neither completed nor raised within the
+    budget. On False the backend is initialized and cached — the caller's
+    own ``jax.devices()`` is then instant. The daemon thread never blocks
+    interpreter exit, but a hung backend init can leave the process
+    unable to re-init cleanly, so callers should treat True as fatal for
+    this process (fail fast, don't retry in-process).
+    """
+    import threading
+
+    done = threading.Event()
+
+    def touch() -> None:
+        try:
+            import jax
+
+            jax.devices()
+        except Exception:
+            pass  # an ERROR is a live, decisive backend — not a hang
+        finally:
+            done.set()
+
+    t = threading.Thread(target=touch, daemon=True, name="relay-probe")
+    t.start()
+    return not done.wait(timeout_s)
