@@ -384,6 +384,7 @@ def _require_live_relay() -> None:
     detection + probe live in nspeech_tpu.utils.relay (shared with
     __graft_entry__); on hosts with no axon markers this is a no-op."""
     from nspeech_tpu.utils.relay import (RELAY_HOST, RELAY_PORT,
+                                         device_exec_blocks,
                                          device_init_blocks, on_axon_testbed,
                                          relay_dead)
 
@@ -411,7 +412,19 @@ def _require_live_relay() -> None:
         if device_init_blocks(90.0):
             _bail("port accepts but backend init hung >90s "
                   "(relay tunnel half-dead)")
-        _phase("device init OK")
+        # Init alone is NOT decisive: the relayed backend lists its device
+        # instantly even when the tunnel behind the relay is wedged
+        # (observed 2026-08-20: devices() 0.2s, first dispatch 221s..inf).
+        # Probe one tiny real dispatch; generous budget so a slow cold
+        # upstream attach still passes — on success that cost is paid
+        # once for this process.
+        exec_budget = float(os.environ.get("NSPEECH_EXEC_PROBE_S", "300"))
+        _phase("probing first device dispatch (watchdog %.0fs)" % exec_budget)
+        t0 = time.monotonic()
+        if device_exec_blocks(exec_budget):
+            _bail("backend init returns but a tiny dispatch hung >%.0fs "
+                  "(relay tunnel half-dead)" % exec_budget)
+        _phase("device dispatch OK in %.1fs" % (time.monotonic() - t0))
 
 
 def main() -> None:

@@ -93,3 +93,44 @@ def device_init_blocks(timeout_s: float = 60.0) -> bool:
     t = threading.Thread(target=touch, daemon=True, name="relay-probe")
     t.start()
     return not done.wait(timeout_s)
+
+
+def device_exec_blocks(timeout_s: float = 300.0) -> bool:
+    """Run ONE tiny on-device computation under a watchdog; True on hang.
+
+    :func:`device_init_blocks` is not sufficient on its own: the relayed
+    backend can report its device list instantly while the tunnel behind
+    the relay is wedged, so only a real dispatch is decisive. Measured on
+    this testbed (2026-08-20, relay freshly restarted): ``jax.devices()``
+    returned in 0.2 s while the first tiny matmul took 221 s in one
+    process and >300 s in the next — then the tunnel healed and the same
+    dispatch cost 2.3 s. The default budget therefore stays generous
+    (survive a cold upstream attach) while still converting an infinite
+    hang into a clean, diagnosable failure.
+
+    On False the attach cost is fully paid for this process — subsequent
+    dispatches run at normal relay speed. As with the init probe, True
+    means this process's backend may be wedged: fail fast, don't retry
+    in-process.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def run() -> None:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            # Small enough to be free, unusual enough (prime sizes) not to
+            # collide with any cached real-workload executable.
+            x = jnp.ones((13, 13), jnp.float32)
+            float((x @ x).sum())
+        except Exception:
+            pass  # an ERROR is a live, decisive backend — not a hang
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True, name="relay-exec-probe")
+    t.start()
+    return not done.wait(timeout_s)

@@ -49,6 +49,41 @@ def test_device_init_blocks_false_when_backend_live(monkeypatch):
 
 
 @pytest.mark.smoke
+def test_device_exec_blocks_false_when_backend_live():
+    # On the CPU test backend a tiny dispatch completes immediately; the
+    # exec-level watchdog must agree the backend is live.
+    t0 = time.monotonic()
+    assert relay.device_exec_blocks(timeout_s=120.0) is False
+    assert time.monotonic() - t0 < 60.0
+
+
+@pytest.mark.smoke
+def test_device_exec_blocks_true_on_hang(monkeypatch):
+    # Simulate the half-dead tunnel state this probe exists for: device
+    # listing succeeds but the first real dispatch never completes
+    # (observed live 2026-08-20 — devices() 0.2s, matmul 221s..forever).
+    import sys
+
+    class _HangingJnp:
+        float32 = "float32"  # attribute access must not raise pre-call
+
+        def ones(self, *a, **k):
+            threading.Event().wait(30)  # far past the watchdog budget
+
+    class _LiveJax:
+        numpy = _HangingJnp()  # `import jax.numpy as jnp` binds via getattr
+
+        def devices(self):
+            return ["fake-device"]
+
+    monkeypatch.setitem(sys.modules, "jax", _LiveJax())
+    monkeypatch.setitem(sys.modules, "jax.numpy", _LiveJax.numpy)
+    t0 = time.monotonic()
+    assert relay.device_exec_blocks(timeout_s=0.5) is True
+    assert time.monotonic() - t0 < 5.0
+
+
+@pytest.mark.smoke
 def test_device_init_blocks_true_on_hang(monkeypatch):
     # Simulate the half-dead relay: the probe thread never finishes.
     # Patch the watchdog's touch target by injecting a jax stand-in whose
