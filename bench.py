@@ -384,9 +384,8 @@ def _require_live_relay() -> None:
     detection + probe live in nspeech_tpu.utils.relay (shared with
     __graft_entry__); on hosts with no axon markers this is a no-op."""
     from nspeech_tpu.utils.relay import (RELAY_HOST, RELAY_PORT,
-                                         device_exec_blocks,
-                                         device_init_blocks, on_axon_testbed,
-                                         relay_dead)
+                                         device_init_blocks, exec_probe_subprocess,
+                                         on_axon_testbed, relay_dead)
 
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return  # explicit CPU run never touches the relay
@@ -415,16 +414,27 @@ def _require_live_relay() -> None:
         # Init alone is NOT decisive: the relayed backend lists its device
         # instantly even when the tunnel behind the relay is wedged
         # (observed 2026-08-20: devices() 0.2s, first dispatch 221s..inf).
-        # Probe one tiny real dispatch; generous budget so a slow cold
-        # upstream attach still passes — on success that cost is paid
-        # once for this process.
-        exec_budget = float(os.environ.get("NSPEECH_EXEC_PROBE_S", "300"))
-        _phase("probing first device dispatch (watchdog %.0fs)" % exec_budget)
-        t0 = time.monotonic()
-        if device_exec_blocks(exec_budget):
+        # Probe one tiny real dispatch in a FRESH CHILD PROCESS — a hang
+        # then wedges only the child, and the wedged-tunnel state has been
+        # observed to heal within minutes, so wait and retry before giving
+        # up. Budgets overridable: per-attempt watchdog NSPEECH_EXEC_PROBE_S,
+        # attempt count NSPEECH_EXEC_PROBE_TRIES.
+        exec_budget = float(os.environ.get("NSPEECH_EXEC_PROBE_S", "240"))
+        tries = int(os.environ.get("NSPEECH_EXEC_PROBE_TRIES", "2"))
+        for attempt in range(tries):
+            _phase("probing first device dispatch (attempt %d/%d, "
+                   "watchdog %.0fs)" % (attempt + 1, tries, exec_budget))
+            took = exec_probe_subprocess(exec_budget)
+            if took is not None:
+                _phase("device dispatch OK in %.1fs" % took)
+                break
+            if attempt + 1 < tries:
+                _phase("dispatch hung; waiting 30s for the tunnel to heal")
+                time.sleep(30.0)
+        else:
             _bail("backend init returns but a tiny dispatch hung >%.0fs "
-                  "(relay tunnel half-dead)" % exec_budget)
-        _phase("device dispatch OK in %.1fs" % (time.monotonic() - t0))
+                  "in %d attempts (relay tunnel half-dead)"
+                  % (exec_budget, tries))
 
 
 def main() -> None:

@@ -134,3 +134,49 @@ def device_exec_blocks(timeout_s: float = 300.0) -> bool:
     t = threading.Thread(target=run, daemon=True, name="relay-exec-probe")
     t.start()
     return not done.wait(timeout_s)
+
+
+_PROBE_SNIPPET = (
+    "import sys, time, jax, jax.numpy as jnp\n"
+    # sitecustomize on this testbed forces the axon platform at interpreter
+    # start, so an env var in the child is too late — honor an explicit
+    # platform via the live config instead.
+    "if len(sys.argv) > 1 and sys.argv[1]:\n"
+    "    jax.config.update('jax_platforms', sys.argv[1])\n"
+    "t0 = time.time()\n"
+    "x = jnp.ones((13, 13), jnp.float32)\n"
+    "float((x @ x).sum())\n"
+    "print('DISPATCH_OK %.1f' % (time.time() - t0), flush=True)\n"
+)
+
+
+def exec_probe_subprocess(timeout_s: float = 240.0,
+                          platform: "str | None" = None) -> "float | None":
+    """Time one tiny on-device dispatch in a FRESH child process.
+
+    Returns the child's measured dispatch seconds, or None when the child
+    neither completed nor errored within ``timeout_s`` (it is then
+    killed). Unlike :func:`device_exec_blocks`, a hang never wedges the
+    CALLING process: the hung backend lives and dies in the child, so the
+    caller can wait and retry — the wedged-tunnel state this guards
+    against has been observed to heal within minutes (2026-08-20: tiny
+    dispatch 221 s, then 2.3 s, then a full 1100 s bench, then hung >300 s
+    again minutes later). An erroring child (rc != 0) also returns None:
+    on the axon testbed a broken backend and a hung one deserve the same
+    fail-or-retry treatment.
+    """
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SNIPPET, platform or ""],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    except OSError:
+        return None  # spawning blocked: report as undecided, caller bails
+    for line in out.stdout.splitlines():
+        if line.startswith("DISPATCH_OK"):
+            return float(line.split()[1])
+    return None

@@ -84,6 +84,34 @@ def test_device_exec_blocks_true_on_hang(monkeypatch):
 
 
 @pytest.mark.smoke
+def test_exec_probe_subprocess_returns_dispatch_time():
+    # Fresh child on the CPU backend: the probe must report a measured
+    # dispatch time well under the watchdog.
+    took = relay.exec_probe_subprocess(timeout_s=120.0, platform="cpu")
+    assert took is not None
+    assert 0.0 <= took < 60.0
+
+
+@pytest.mark.smoke
+def test_exec_probe_subprocess_none_on_hang(monkeypatch):
+    # A child that never completes must be killed at the watchdog and
+    # reported as undecided (None) without wedging the caller.
+    monkeypatch.setattr(relay, "_PROBE_SNIPPET",
+                        "import time\ntime.sleep(30)\n")
+    t0 = time.monotonic()
+    assert relay.exec_probe_subprocess(timeout_s=1.0) is None
+    assert time.monotonic() - t0 < 10.0
+
+
+@pytest.mark.smoke
+def test_exec_probe_subprocess_none_on_child_error(monkeypatch):
+    # An erroring backend gets the same fail-or-retry treatment as a hang.
+    monkeypatch.setattr(relay, "_PROBE_SNIPPET",
+                        "raise RuntimeError('backend broken')\n")
+    assert relay.exec_probe_subprocess(timeout_s=30.0) is None
+
+
+@pytest.mark.smoke
 def test_device_init_blocks_true_on_hang(monkeypatch):
     # Simulate the half-dead relay: the probe thread never finishes.
     # Patch the watchdog's touch target by injecting a jax stand-in whose
