@@ -112,6 +112,29 @@ def test_exec_probe_subprocess_none_on_child_error(monkeypatch):
 
 
 @pytest.mark.smoke
+def test_entry_cpu_fallback_wiring(monkeypatch):
+    # entry()'s guard must repin a wedged testbed to the CPU backend
+    # (here already CPU, so the repin is a no-op) without raising, and
+    # must not probe at all off the testbed.
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    calls = []
+    monkeypatch.setattr(relay, "on_axon_testbed", lambda: True)
+    monkeypatch.setattr(relay, "relay_dead", lambda: True)
+    g._cpu_fallback_if_tunnel_wedged()
+    import jax
+    assert jax.default_backend() == "cpu"
+
+    monkeypatch.setattr(relay, "on_axon_testbed", lambda: False)
+    monkeypatch.setattr(relay, "exec_probe_subprocess",
+                        lambda *a, **k: calls.append(1))
+    g._cpu_fallback_if_tunnel_wedged()
+    assert not calls  # off-testbed: no probe child spawned
+
+
+@pytest.mark.smoke
 def test_device_init_blocks_true_on_hang(monkeypatch):
     # Simulate the half-dead relay: the probe thread never finishes.
     # Patch the watchdog's touch target by injecting a jax stand-in whose
