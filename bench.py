@@ -421,17 +421,24 @@ def _require_live_relay() -> None:
         # attempt count NSPEECH_EXEC_PROBE_TRIES.
         exec_budget = float(os.environ.get("NSPEECH_EXEC_PROBE_S", "240"))
         tries = int(os.environ.get("NSPEECH_EXEC_PROBE_TRIES", "2"))
+        last = None
         for attempt in range(tries):
             _phase("probing first device dispatch (attempt %d/%d, "
                    "watchdog %.0fs)" % (attempt + 1, tries, exec_budget))
-            took = exec_probe_subprocess(exec_budget)
-            if took is not None:
-                _phase("device dispatch OK in %.1fs" % took)
+            last = exec_probe_subprocess(exec_budget)
+            if last.ok:
+                _phase("device dispatch OK in %.1fs" % last.seconds)
                 break
+            _phase("dispatch probe failed: %s%s"
+                   % (last.status, ": " + last.detail if last.detail else ""))
+            if last.status == "error":
+                break  # decisive failure — retrying will not change it
             if attempt + 1 < tries:
-                _phase("dispatch hung; waiting 30s for the tunnel to heal")
+                _phase("waiting 30s for the tunnel to heal")
                 time.sleep(30.0)
-        else:
+        if last is not None and not last.ok:
+            if last.status == "error":
+                _bail("probe child errored (not a hang) — %s" % last.detail)
             _bail("backend init returns but a tiny dispatch hung >%.0fs "
                   "in %d attempts (relay tunnel half-dead)"
                   % (exec_budget, tries))
@@ -470,6 +477,20 @@ def main() -> None:
     from nspeech_tpu.utils.platform import set_platform
     env_platforms = os.environ.get("JAX_PLATFORMS", "").strip().lower()
     set_platform("cpu" if env_platforms == "cpu" else None)
+    # Persistent XLA compile cache (same location as __graft_entry__'s
+    # dryrun): the big-model programs below cost minutes to compile cold
+    # but are byte-stable run to run, so a driver bench that follows any
+    # warm-up run on this host loads them in seconds. This is what lets
+    # the full 15-metric set fit the wall budget (round 4's cold run
+    # spent ~8 min compiling and shed the two most-cited metrics).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/nspeech_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache flag absent — cold compiles still work
 
     budget_s = float(os.environ.get("NSPEECH_BENCH_BUDGET_S", "1140"))
 
@@ -487,76 +508,37 @@ def main() -> None:
     _emit("taco2_sec_per_step", round(sec_per_step, 4), "sec", None,
           args.precision)
 
-    # WaveNet TRAINING throughput — the reference's second trainer
-    # (train_wavenet.py) — emitted by default so every driver-captured
-    # bench file carries training AND sampling numbers for both families.
-    if _fits(budget_s, 90, "wavenet train"):
-        _phase("wavenet train")
-        rate_tr = bench_wavenet_train(steps=args.steps,
-                                      precision=args.precision)
-        _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
-              "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
-              args.precision)
-    if _fits(budget_s, 60, "wavenet train (mel-conditioned)"):
-        _phase("wavenet train (mel-conditioned)")
-        rate_tr_lc = bench_wavenet_train(steps=args.steps,
-                                         precision=args.precision,
-                                         use_lc=True)
-        _emit("wavenet_train_lc_samples_per_sec_per_chip",
-              round(rate_tr_lc, 1), "samples/sec/chip",
-              round(rate_tr_lc / 20000.0 / 5.0, 4), args.precision)
-
-    # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
-    # are MXU-latency-bound; bf16 measured no faster). The TPU kernel does
-    # not lower on CPU-only hosts — skip rather than crash mid-run there.
+    # Mixed-precision policy variant (compute_dtype=bfloat16,
+    # ops/policy.py) — the best single training number in the repo and
+    # the README's lead, so it runs IMMEDIATELY after the f32 headline
+    # (round 4 had it last and the driver run shed it). It reuses the
+    # f32 phase's already-warm backend; the only extra cost is its own
+    # compile, which the persistent cache serves on a warm host.
     on_tpu = jax.default_backend() not in ("cpu",)
-    if not on_tpu:
-        print("bench: skipping Pallas sampling / vocoder / serving metrics "
-              "(TPU-only; backend is %s)" % jax.default_backend(),
-              file=sys.stderr)
-    sec_utt = None
-    if on_tpu and _fits(budget_s, 120, "pallas sampling"):
-        _phase("pallas sampling")
-        rate, rtf = bench_wavenet_generate(batch=1)
-        _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),
-              "samples/sec", round(rtf / 5.0, 4), "float32")
-        rate8, rtf8 = bench_wavenet_generate(batch=8)
-        _emit("wavenet_pallas_batch8_samples_per_sec_per_chip",
-              round(rate8, 1), "samples/sec/chip", round(rtf8 / 5.0, 4),
-              "float32")
-    if on_tpu and _fits(budget_s, 400, "taco2 serving latency"):
-        # Serving latency at the full decode budget (see bench_taco2_serving
-        # docstring); vs_baseline = decoded-audio-seconds / latency, i.e.
-        # how many times faster than real time the serving path runs. The
-        # decode runs under the same global matmul precision as training
-        # (set by bench_taco2_train above), so label it accordingly.
-        _phase("taco2 serving latency")
-        sec_utt, sec_wav_only, audio_secs = bench_taco2_serving()
-        _emit("taco2_serving_sec_per_utterance_cap", round(sec_utt, 4),
-              "sec", round(audio_secs / sec_utt, 2), args.precision)
-        _emit("taco2_serving_wav_only_sec", round(sec_wav_only, 4),
-              "sec", round(audio_secs / sec_wav_only, 2), args.precision)
-    if on_tpu and _fits(budget_s, 350, "streaming first-audio"):
-        # Streaming serving: time-to-first-audio. vs_baseline = the
-        # one-shot cap latency over TTFA (how much sooner the first
-        # audio reaches the client). Guarded: a failure here must not
-        # void the already-emitted metrics.
-        _phase("streaming first-audio + batch-8")
+    def _hp_join(*parts):
+        return ",".join(p for p in parts if p)
+    if _fits(budget_s, 200, "bf16-policy taco2 train"):
+        _phase("bf16-policy taco2 train")
         try:
-            ttfa, rt8 = bench_streaming_first_audio()
-            _emit("taco2_streaming_first_audio_sec", round(ttfa, 4), "sec",
-                  round(sec_utt / ttfa, 2) if sec_utt else None,
-                  args.precision)
-            # vs_baseline: aggregate RT over the 5x single-stream target
-            _emit("taco2_stream_batch8_rt_aggregate", round(rt8, 2),
-                  "x_realtime", round(rt8 / 5.0, 2), args.precision)
+            fps16, _, mfu16 = bench_taco2_train(
+                batch_size=args.batch_size, steps=args.steps,
+                precision=args.precision,
+                hparams=_hp_join(args.hparams, "compute_dtype=bfloat16"))
+            _emit("taco2_train_mel_frames_per_sec_per_chip_bf16",
+                  round(fps16, 1), "frames/sec/chip",
+                  round(fps16 / 10000.0, 3), "bfloat16_policy")
+            if mfu16 is not None:
+                _emit("taco2_train_mfu_bf16", round(mfu16, 4),
+                      "fraction_of_peak", None, "bfloat16_policy")
         except Exception as e:  # pragma: no cover - defensive
-            print("bench: streaming first-audio metric failed: %s" % e,
+            print("bench: bf16-policy taco2 metrics failed: %s" % e,
                   file=sys.stderr)
+
+    # Mel-conditioned vocode rate (the trained-vocoder serving figure) —
+    # second-most-cited row, so it runs before the nice-to-have serving /
+    # streaming extras. Slope over two mel lengths (the relay's fixed
+    # dispatch + mel transfer cost would otherwise dominate).
     if on_tpu and _fits(budget_s, 90, "mel-conditioned vocoder rate"):
-        # Mel-conditioned vocode rate by slope over two mel lengths (the
-        # relay's fixed dispatch + mel transfer cost would otherwise
-        # dominate).
         _phase("mel-conditioned vocoder rate")
         from nspeech_tpu.serving.pipeline import WaveNetVocoder
         import nspeech_tpu.config as config
@@ -587,36 +569,86 @@ def main() -> None:
               "samples/sec", round(rate_lc / cfg.sample_rate / 5.0, 4),
               "float32")
 
-    # Mixed-precision policy variants (compute_dtype=bfloat16,
-    # ops/policy.py): bf16 activations end-to-end with f32 masters. The
-    # baseline rows above keep f32 activations (with bf16 matmul passes),
-    # so the pair isolates the activation-bandwidth win. Last in the
-    # order: beyond-parity rows go first under the knife when the budget
-    # runs short. Guarded: policy metrics must not void the earlier rows.
-    def _hp_join(*parts):
-        return ",".join(p for p in parts if p)
-    if _fits(budget_s, 300, "bf16-policy variants"):
-        _phase("bf16-policy variants")
+    # WaveNet TRAINING throughput — the reference's second trainer
+    # (train_wavenet.py) — emitted by default so every driver-captured
+    # bench file carries training AND sampling numbers for both families.
+    if _fits(budget_s, 90, "wavenet train"):
+        _phase("wavenet train")
+        rate_tr = bench_wavenet_train(steps=args.steps,
+                                      precision=args.precision)
+        _emit("wavenet_train_samples_per_sec_per_chip", round(rate_tr, 1),
+              "samples/sec/chip", round(rate_tr / 20000.0 / 5.0, 4),
+              args.precision)
+    if _fits(budget_s, 60, "wavenet train (mel-conditioned)"):
+        _phase("wavenet train (mel-conditioned)")
+        rate_tr_lc = bench_wavenet_train(steps=args.steps,
+                                         precision=args.precision,
+                                         use_lc=True)
+        _emit("wavenet_train_lc_samples_per_sec_per_chip",
+              round(rate_tr_lc, 1), "samples/sec/chip",
+              round(rate_tr_lc / 20000.0 / 5.0, 4), args.precision)
+    if _fits(budget_s, 80, "bf16-policy wavenet"):
+        _phase("bf16-policy wavenet")
         try:
-            fps16, _, mfu16 = bench_taco2_train(
-                batch_size=args.batch_size, steps=args.steps,
-                precision=args.precision,
-                hparams=_hp_join(args.hparams, "compute_dtype=bfloat16"))
-            _emit("taco2_train_mel_frames_per_sec_per_chip_bf16",
-                  round(fps16, 1), "frames/sec/chip",
-                  round(fps16 / 10000.0, 3), "bfloat16_policy")
-            if mfu16 is not None:
-                _emit("taco2_train_mfu_bf16", round(mfu16, 4),
-                      "fraction_of_peak", None, "bfloat16_policy")
-            if _fits(budget_s, 80, "bf16-policy wavenet"):
-                rate_lc16 = bench_wavenet_train(
-                    steps=args.steps, precision=args.precision, use_lc=True,
-                    hparams="compute_dtype=bfloat16")
-                _emit("wavenet_train_lc_samples_per_sec_per_chip_bf16",
-                      round(rate_lc16, 1), "samples/sec/chip",
-                      round(rate_lc16 / 20000.0 / 5.0, 4), "bfloat16_policy")
+            rate_lc16 = bench_wavenet_train(
+                steps=args.steps, precision=args.precision, use_lc=True,
+                hparams="compute_dtype=bfloat16")
+            _emit("wavenet_train_lc_samples_per_sec_per_chip_bf16",
+                  round(rate_lc16, 1), "samples/sec/chip",
+                  round(rate_lc16 / 20000.0 / 5.0, 4), "bfloat16_policy")
         except Exception as e:  # pragma: no cover - defensive
-            print("bench: bf16-policy metrics failed: %s" % e,
+            print("bench: bf16-policy wavenet metric failed: %s" % e,
+                  file=sys.stderr)
+
+    # WaveNet sampling runs the Pallas kernel in fp32 (serial small matmuls
+    # are MXU-latency-bound; bf16 measured no faster). The TPU kernel does
+    # not lower on CPU-only hosts — skip rather than crash mid-run there.
+    if not on_tpu:
+        print("bench: skipping Pallas sampling / vocoder / serving metrics "
+              "(TPU-only; backend is %s)" % jax.default_backend(),
+              file=sys.stderr)
+    sec_utt = None
+    if on_tpu and _fits(budget_s, 120, "pallas sampling"):
+        _phase("pallas sampling")
+        rate, rtf = bench_wavenet_generate(batch=1)
+        _emit("wavenet_pallas_single_stream_samples_per_sec", round(rate, 1),
+              "samples/sec", round(rtf / 5.0, 4), "float32")
+        rate8, rtf8 = bench_wavenet_generate(batch=8)
+        _emit("wavenet_pallas_batch8_samples_per_sec_per_chip",
+              round(rate8, 1), "samples/sec/chip", round(rtf8 / 5.0, 4),
+              "float32")
+    if on_tpu and _fits(budget_s, 400, "taco2 serving latency"):
+        # Serving latency at the full decode budget (see bench_taco2_serving
+        # docstring); vs_baseline = decoded-audio-seconds / latency, i.e.
+        # how many times faster than real time the serving path runs. The
+        # decode runs under the same global matmul precision as training
+        # (set by bench_taco2_train above), so label it accordingly.
+        _phase("taco2 serving latency")
+        sec_utt, sec_wav_only, audio_secs = bench_taco2_serving()
+        _emit("taco2_serving_sec_per_utterance_cap", round(sec_utt, 4),
+              "sec", round(audio_secs / sec_utt, 2), args.precision)
+        _emit("taco2_serving_wav_only_sec", round(sec_wav_only, 4),
+              "sec", round(audio_secs / sec_wav_only, 2), args.precision)
+    if on_tpu and _fits(budget_s, 450, "streaming first-audio"):
+        # Streaming serving: time-to-first-audio. vs_baseline = the
+        # one-shot cap latency over TTFA (how much sooner the first
+        # audio reaches the client). LAST in the order: it is the most
+        # expensive phase (444s measured cold in round 4 — many chunk
+        # programs) and its rows are beyond-parity extras, so when the
+        # budget runs short the shed lands here, not on the cited
+        # training/vocoder metrics. Guarded: a failure here must not
+        # void the already-emitted metrics.
+        _phase("streaming first-audio + batch-8")
+        try:
+            ttfa, rt8 = bench_streaming_first_audio()
+            _emit("taco2_streaming_first_audio_sec", round(ttfa, 4), "sec",
+                  round(sec_utt / ttfa, 2) if sec_utt else None,
+                  args.precision)
+            # vs_baseline: aggregate RT over the 5x single-stream target
+            _emit("taco2_stream_batch8_rt_aggregate", round(rt8, 2),
+                  "x_realtime", round(rt8 / 5.0, 2), args.precision)
+        except Exception as e:  # pragma: no cover - defensive
+            print("bench: streaming first-audio metric failed: %s" % e,
                   file=sys.stderr)
 
     # Re-print the headline record as the FINAL line: the driver parses

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import socket
+from typing import NamedTuple
 
 RELAY_HOST = "127.0.0.1"
 RELAY_PORT = 8082
@@ -98,6 +99,12 @@ def device_init_blocks(timeout_s: float = 60.0) -> bool:
 def device_exec_blocks(timeout_s: float = 300.0) -> bool:
     """Run ONE tiny on-device computation under a watchdog; True on hang.
 
+    In-process building block only — production callers (bench.py,
+    ``__graft_entry__``) use :func:`exec_probe_subprocess` instead: a hang
+    here wedges THIS process's backend (exactly what the subprocess
+    variant exists to avoid), so prefer the child-process probe anywhere
+    the caller must survive a wedged tunnel.
+
     :func:`device_init_blocks` is not sufficient on its own: the relayed
     backend can report its device list instantly while the tunnel behind
     the relay is wedged, so only a real dispatch is decisive. Measured on
@@ -150,20 +157,44 @@ _PROBE_SNIPPET = (
 )
 
 
+class ProbeResult(NamedTuple):
+    """Outcome of one child-process dispatch probe.
+
+    ``seconds`` is the measured dispatch time on success, else None.
+    ``status`` discriminates the failure modes that used to collapse into
+    one None — 'ok', 'timeout' (child killed at the watchdog: the
+    hang-and-maybe-heal state), 'error' (child exited rc != 0 quickly: a
+    real failure with a traceback worth reading), 'spawn-failed'.
+    ``detail`` carries the child's stderr tail on 'error' so callers can
+    surface the actual traceback instead of reporting a hang."""
+
+    seconds: "float | None"
+    status: str
+    detail: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return self.status == "ok"
+
+
 def exec_probe_subprocess(timeout_s: float = 240.0,
-                          platform: "str | None" = None) -> "float | None":
+                          platform: "str | None" = None) -> ProbeResult:
     """Time one tiny on-device dispatch in a FRESH child process.
 
-    Returns the child's measured dispatch seconds, or None when the child
-    neither completed nor errored within ``timeout_s`` (it is then
-    killed). Unlike :func:`device_exec_blocks`, a hang never wedges the
-    CALLING process: the hung backend lives and dies in the child, so the
-    caller can wait and retry — the wedged-tunnel state this guards
-    against has been observed to heal within minutes (2026-08-20: tiny
-    dispatch 221 s, then 2.3 s, then a full 1100 s bench, then hung >300 s
-    again minutes later). An erroring child (rc != 0) also returns None:
-    on the axon testbed a broken backend and a hung one deserve the same
-    fail-or-retry treatment.
+    Unlike :func:`device_exec_blocks`, a hang never wedges the CALLING
+    process: the hung backend lives and dies in the child, so the caller
+    can wait and retry — the wedged-tunnel state this guards against has
+    been observed to heal within minutes (2026-08-20: tiny dispatch
+    221 s, then 2.3 s, then a full 1100 s bench, then hung >300 s again
+    minutes later). A hung child ('timeout') and an erroring child
+    ('error') both deserve the fail-or-retry treatment on the axon
+    testbed, but they are different diagnoses — the result says which,
+    and carries the child's stderr tail on 'error'.
+
+    On success the probe is recorded (:func:`mark_probe_ok`) so callers
+    that run shortly after a healthy probe can skip paying a fresh child
+    (~30-220 s of jax import + cold tunnel attach) via
+    :func:`recent_probe_ok`.
     """
     import subprocess
     import sys
@@ -173,10 +204,41 @@ def exec_probe_subprocess(timeout_s: float = 240.0,
             [sys.executable, "-c", _PROBE_SNIPPET, platform or ""],
             capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return None
-    except OSError:
-        return None  # spawning blocked: report as undecided, caller bails
+        return ProbeResult(None, "timeout")
+    except OSError as e:
+        return ProbeResult(None, "spawn-failed", str(e))
     for line in out.stdout.splitlines():
         if line.startswith("DISPATCH_OK"):
-            return float(line.split()[1])
-    return None
+            if not platform:  # only real-backend probes count as relay-ok
+                mark_probe_ok()
+            return ProbeResult(float(line.split()[1]), "ok")
+    tail = "\n".join(out.stderr.strip().splitlines()[-8:])
+    return ProbeResult(None, "error", "child rc=%s: %s" % (out.returncode,
+                                                           tail or "<no stderr>"))
+
+
+# A healthy dispatch probe is expensive through this relay (child pays a
+# full jax import + tunnel attach, observed up to ~221 s cold); entry()'s
+# compile check runs right after bench/_require_live_relay has already
+# paid one. A timestamped marker lets the later caller trust the earlier
+# result for a few minutes instead of doubling the cold-start.
+_PROBE_MARKER = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "nspeech_relay_probe_ok")
+
+
+def mark_probe_ok() -> None:
+    try:
+        with open(_PROBE_MARKER, "w") as f:
+            f.write("ok\n")
+    except OSError:
+        pass  # marker is an optimization; never fail the probe over it
+
+
+def recent_probe_ok(max_age_s: float = 600.0) -> bool:
+    """True when a real-backend dispatch probe succeeded recently."""
+    try:
+        import time
+
+        return (time.time() - os.path.getmtime(_PROBE_MARKER)) <= max_age_s
+    except OSError:
+        return False

@@ -87,28 +87,48 @@ def test_device_exec_blocks_true_on_hang(monkeypatch):
 def test_exec_probe_subprocess_returns_dispatch_time():
     # Fresh child on the CPU backend: the probe must report a measured
     # dispatch time well under the watchdog.
-    took = relay.exec_probe_subprocess(timeout_s=120.0, platform="cpu")
-    assert took is not None
-    assert 0.0 <= took < 60.0
+    res = relay.exec_probe_subprocess(timeout_s=120.0, platform="cpu")
+    assert res.ok and res.status == "ok"
+    assert 0.0 <= res.seconds < 60.0
 
 
 @pytest.mark.smoke
-def test_exec_probe_subprocess_none_on_hang(monkeypatch):
+def test_exec_probe_subprocess_timeout_on_hang(monkeypatch):
     # A child that never completes must be killed at the watchdog and
-    # reported as undecided (None) without wedging the caller.
+    # reported as a TIMEOUT (not an error) without wedging the caller.
     monkeypatch.setattr(relay, "_PROBE_SNIPPET",
                         "import time\ntime.sleep(30)\n")
     t0 = time.monotonic()
-    assert relay.exec_probe_subprocess(timeout_s=1.0) is None
+    res = relay.exec_probe_subprocess(timeout_s=1.0)
+    assert not res.ok and res.status == "timeout" and res.seconds is None
     assert time.monotonic() - t0 < 10.0
 
 
 @pytest.mark.smoke
-def test_exec_probe_subprocess_none_on_child_error(monkeypatch):
-    # An erroring backend gets the same fail-or-retry treatment as a hang.
+def test_exec_probe_subprocess_error_carries_stderr(monkeypatch):
+    # An erroring child is a DIFFERENT diagnosis than a hang: the result
+    # must say 'error' and carry the child's actual traceback tail so the
+    # failure is diagnosable from the bench/driver log.
     monkeypatch.setattr(relay, "_PROBE_SNIPPET",
                         "raise RuntimeError('backend broken')\n")
-    assert relay.exec_probe_subprocess(timeout_s=30.0) is None
+    res = relay.exec_probe_subprocess(timeout_s=30.0)
+    assert not res.ok and res.status == "error"
+    assert "backend broken" in res.detail
+
+
+@pytest.mark.smoke
+def test_probe_ok_marker_roundtrip(tmp_path, monkeypatch):
+    # A successful real-backend probe records a marker; recent_probe_ok
+    # honors it within the age budget and rejects a stale one.
+    marker = tmp_path / "probe_ok"
+    monkeypatch.setattr(relay, "_PROBE_MARKER", str(marker))
+    assert relay.recent_probe_ok() is False
+    relay.mark_probe_ok()
+    assert relay.recent_probe_ok() is True
+    import os
+    old = time.time() - 3600
+    os.utime(marker, (old, old))
+    assert relay.recent_probe_ok(max_age_s=600.0) is False
 
 
 @pytest.mark.smoke
