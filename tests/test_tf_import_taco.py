@@ -1,0 +1,391 @@
+"""Reference Tacotron checkpoint import: session-level numerical parity.
+
+The strongest available parity proof for the seq2seq stack: the REAL
+reference model files (/root/reference/neural_speech/models/tacotron.py,
+tacotron2.py, and their modules/rnn_wrappers/attention/helpers) are
+executed on the TF1-compat shim (tests/tf1_shim.py), a genuine
+``tf.train.Saver`` checkpoint is saved from the resulting graph, imported
+through the from-spec bundle reader + the structural name mapper
+(nspeech_tpu/migrate/tacotron.py), and the imported JAX model's outputs
+are asserted equal to the reference session's outputs — teacher-forced
+AND free-running, single- and multi-speaker.
+
+What this does and does not prove: the arithmetic is the reference's own
+(its Python built the graph); the contrib cells/wrappers the reference
+imports are shim re-derivations of TF 1.15 (TF 2.21 removed contrib), so
+variable-NAME fidelity for the auto-generated wrapper scopes rests on the
+shim's reproduction of TF1 Layer scoping — which is why the mapper
+matches structural landmarks rather than full paths, and why
+``test_mapper_tolerates_wrapper_nesting_drift`` pins that tolerance.
+
+Mapper-only tests (dict input, no TF) run everywhere; graph tests skip
+without TensorFlow.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nspeech_tpu.migrate import ImportError_
+from nspeech_tpu.migrate.tacotron import detect_model, import_tacotron
+
+try:
+    import tensorflow as tf
+
+    v1 = tf.compat.v1
+except ImportError:  # mapper unit tests still run without TF
+    tf = None
+    v1 = None
+
+needs_tf = pytest.mark.skipif(tf is None, reason="tensorflow not installed")
+
+
+class _HP:
+    """Reduced config exercising every component of both models."""
+
+    embedding_dim = 16
+    speaker_embed_dim = 4
+    num_speakers = 1
+    attention_type = "bah"
+    drop_rate = 0.0  # determinism: the only stochastic op in either graph
+    encoder_prenet = [32, 16]
+    encoder_cbhg_banks = 3
+    encoder_cbhg_bank_sizes = [24, 16]
+    attention_dim = 12
+    decoder_dim = 20
+    post_cbhg_banks = 2
+    post_cbhg_bank_sizes = [24]
+    num_mels = 10
+    num_freq = 33
+    outputs_per_step = 2
+    max_iters = 6  # == T_out/r: the teacher-forced decode's exact length
+    sample_rate = 20000
+    encoder_conv_layers = 2
+    encoder_conv_width = 5
+    encoder_conv_channels = 14
+    encoder_lstm_units = 11
+    decoder_lstm_units = 18
+    postnet_conv_layers = 2
+    postnet_conv_width = 5
+    postnet_conv_channels = 13
+    expand_conv_layers = 2
+    expand_conv_width = 5
+    expand_conv_channels = 15
+    expand_lstm_units = 9
+
+
+N, T_IN, T_OUT = 2, 7, 12
+
+
+def _inputs(hp):
+    rng = np.random.default_rng(0)
+    return (rng.integers(2, 60, (N, T_IN)).astype(np.int32),
+            np.array([7, 5], np.int32),
+            np.array([0, 1 % hp.num_speakers], np.int32),
+            rng.random((N, T_OUT, hp.num_mels)).astype(np.float32),
+            rng.random((N, T_OUT, hp.num_freq)).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    if tf is None:
+        pytest.skip("tensorflow not installed")
+    v1.disable_eager_execution()
+    # The reference's LocationSensitiveAttention reads Dimension.value
+    # (attention.py:58) — TF1 shape semantics.
+    v1.disable_v2_tensorshape()
+    import tf1_shim
+
+    return tf1_shim.load_reference_models()
+
+
+def _build_ref(ref_models, model_name, training=True, multi_speaker=False,
+               save_prefix=None, restore_prefix=None):
+    """Build the reference graph; save a Saver checkpoint and/or restore
+    one; return (ckpt_prefix, session outputs, hp)."""
+    hp = _HP()
+    if multi_speaker:
+        hp.num_speakers = 3
+    text_np, len_np, spk_np, mel_np, lin_np = _inputs(hp)
+    rng = np.random.default_rng(7)
+
+    g = v1.Graph()
+    with g.as_default():
+        text = tf.constant(text_np)
+        lengths = tf.constant(len_np)
+        spk = tf.constant(spk_np)
+        mel = tf.constant(mel_np) if training else None
+        lin = tf.constant(lin_np) if training else None
+        with v1.variable_scope("model"):
+            model = ref_models.create_model(model_name, hp)
+            model.initialize(text, lengths, spk, mel, lin)
+        saver = v1.train.Saver()
+        with v1.Session(graph=g) as sess:
+            if restore_prefix is not None:
+                saver.restore(sess, restore_prefix)
+            else:
+                sess.run(v1.global_variables_initializer())
+                # Randomized BN moving stats make eval-mode parity (which
+                # consumes them) non-trivial.
+                assigns = [
+                    v1.assign(v, rng.normal(0, 0.3, v.shape.as_list()))
+                    if v.op.name.endswith("moving_mean") else
+                    v1.assign(v, rng.uniform(0.5, 2.0, v.shape.as_list()))
+                    for v in v1.global_variables()
+                    if v.op.name.endswith(("moving_mean",
+                                           "moving_variance"))]
+                sess.run(assigns)
+            outs = sess.run({"mel": model.mel_outputs,
+                             "linear": model.linear_outputs,
+                             "align": model.alignments})
+            prefix = restore_prefix
+            if save_prefix is not None:
+                prefix = saver.save(sess, save_prefix, global_step=123,
+                                    write_meta_graph=False)
+    return prefix, outs, hp
+
+
+def _ours(model_name, prefix, hp, training=True):
+    import jax
+    import jax.numpy as jnp
+    import nspeech_tpu.config as config
+    from nspeech_tpu.models import create_model
+
+    assert detect_model(prefix) == model_name
+    params, bn_state, derived = import_tacotron(prefix, model_name)
+    cfg = config.load_config(model_name)
+    for k, v in derived.items():
+        setattr(cfg, k, v)
+    cfg.max_iters = hp.max_iters
+    cfg.drop_rate = 0.0
+    cfg.sample_rate = hp.sample_rate
+    model = create_model(model_name, cfg)
+    text_np, len_np, spk_np, mel_np, _ = _inputs(hp)
+    outputs, _ = model.forward(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jax.tree_util.tree_map(jnp.asarray, bn_state),
+        jnp.asarray(text_np), jnp.asarray(len_np),
+        speaker_ids=jnp.asarray(spk_np),
+        mel_targets=jnp.asarray(mel_np) if training else None,
+        is_training=training, rng=jax.random.PRNGKey(0))
+    return {k: np.asarray(v) for k, v in outputs.items()}, derived
+
+
+def _assert_parity(ref, mine, atol=3e-5):
+    np.testing.assert_allclose(mine["mel_outputs"], ref["mel"], atol=atol,
+                               rtol=1e-4)
+    np.testing.assert_allclose(mine["linear_outputs"], ref["linear"],
+                               atol=atol, rtol=1e-4)
+    np.testing.assert_allclose(mine["alignments"], ref["align"], atol=atol,
+                               rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Session-level parity
+# ---------------------------------------------------------------------------
+
+def test_taco1_teacher_parity(ref_models, tmp_path):
+    prefix, ref, hp = _build_ref(ref_models, "taco1",
+                                 save_prefix=str(tmp_path / "t1.ckpt"))
+    mine, derived = _ours("taco1", prefix, hp)
+    assert derived["attention_type"] == "bah"
+    assert derived["outputs_per_step"] == 2
+    _assert_parity(ref, mine)
+
+
+def test_taco2_teacher_parity(ref_models, tmp_path):
+    """Location-sensitive attention, LSTM decoder, postnet residual and
+    the conv+BiLSTM expand network — all under shared weights."""
+    prefix, ref, hp = _build_ref(ref_models, "taco2",
+                                 save_prefix=str(tmp_path / "t2.ckpt"))
+    mine, derived = _ours("taco2", prefix, hp)
+    assert derived["attention_type"] == "location_sensitive"
+    _assert_parity(ref, mine)
+
+
+def test_taco1_eval_parity_free_running(ref_models, tmp_path):
+    """Autoregressive decode (TacoTestHelper feedback loop) + batch-norm
+    RUNNING statistics (randomized at save): the serving path the
+    reference Synthesizer restores checkpoints into."""
+    prefix, _, _ = _build_ref(ref_models, "taco1",
+                              save_prefix=str(tmp_path / "t1e.ckpt"))
+    # fresh eval graph, same checkpoint restored by name
+    _, ref_eval, hp = _build_ref(ref_models, "taco1", training=False,
+                                 restore_prefix=prefix)
+    mine, _ = _ours("taco1", prefix, hp, training=False)
+    _assert_parity(ref_eval, mine)
+
+
+def test_taco1_multispeaker_parity(ref_models, tmp_path):
+    """Speaker paths: embedding table, per-highway concat conditioning,
+    speaker-initialized CBHG GRU state, per-step decoder-prenet speaker
+    projection (reference modules.py:156-169, rnn_wrappers.py:28-30)."""
+    prefix, ref, hp = _build_ref(ref_models, "taco1", multi_speaker=True,
+                                 save_prefix=str(tmp_path / "t1m.ckpt"))
+    mine, derived = _ours("taco1", prefix, hp)
+    assert derived["num_speakers"] == 3
+    assert derived["speaker_embed_dim"] == 4
+    _assert_parity(ref, mine)
+
+
+def test_cli_roundtrip_serves_imported_taco2(ref_models, tmp_path):
+    """TF checkpoint -> import_reference_ckpt.py -> run dir -> serving
+    restore path -> same teacher-forced outputs as the reference
+    session."""
+    import jax
+    import jax.numpy as jnp
+    import import_reference_ckpt
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.train import config_from_checkpoint, \
+        load_serving_params
+
+    prefix, ref, hp = _build_ref(ref_models, "taco2",
+                                 save_prefix=str(tmp_path / "cli.ckpt"))
+    out = str(tmp_path / "imported")
+    rc = import_reference_ckpt.main(["--ckpt", prefix, "--out", out])
+    assert rc == 0
+
+    ckpt_dir = f"{out}/ckpt"
+    cfg, model_name = config_from_checkpoint(ckpt_dir)
+    assert model_name == "taco2"
+    assert int(cfg.outputs_per_step) == 2
+    cfg.max_iters = hp.max_iters
+    cfg.drop_rate = 0.0
+    model = create_model("taco2", cfg)
+    params, bn_state = load_serving_params(ckpt_dir, model, cfg, "taco2")
+    text_np, len_np, spk_np, mel_np, _ = _inputs(hp)
+    outputs, _ = model.forward(
+        params, bn_state, jnp.asarray(text_np), jnp.asarray(len_np),
+        speaker_ids=jnp.asarray(spk_np), mel_targets=jnp.asarray(mel_np),
+        is_training=True, rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(outputs["mel_outputs"]),
+                               ref["mel"], atol=3e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mapper unit behavior (dict input, no TF)
+# ---------------------------------------------------------------------------
+
+def _synthetic_taco2(rng, nest="output_projection_wrapper/multi_rnn_cell"):
+    """Minimal taco2 name set; ``nest`` is the auto-generated wrapper
+    middle the mapper must NOT depend on."""
+    E, C, U, A, D, M, R, F = 8, 6, 5, 4, 7, 3, 2, 9
+    mem = 2 * U
+    t = {}
+    p = "model/inference/"
+    t[p + "embedding/embedding"] = rng.standard_normal((149, E))
+    for i in range(2):
+        cin = E if i == 0 else C
+        base = p + f"encoder/conv_{i}/"
+        t[base + "conv1d/kernel"] = rng.standard_normal((5, cin, C))
+        t[base + "conv1d/bias"] = rng.standard_normal((C,))
+        for leaf in ("gamma", "beta", "moving_mean", "moving_variance"):
+            t[base + "batch_normalization/" + leaf] = rng.standard_normal((C,))
+    for d in ("fw", "bw"):
+        base = p + f"encoder/encoder_lstm/{d}/lstm_block_cell/"
+        t[base + "kernel"] = rng.standard_normal((C + U, 4 * U))
+        t[base + "bias"] = rng.standard_normal((4 * U,))
+    t[p + "attention_decoder/memory_layer/kernel"] = \
+        rng.standard_normal((mem, A))
+    dec = p + f"decoder/{nest}/cell_0/attention_wrapper/"
+    att = dec + "location_sensitive_attention/"
+    t[att + "query_layer/kernel"] = rng.standard_normal((A, A))
+    t[att + "attention_v"] = rng.standard_normal((A,))
+    t[att + "location_conv/kernel"] = rng.standard_normal((7, 1, 20))
+    t[att + "location_layer/kernel"] = rng.standard_normal((20, A))
+    pre = dec + "prenet_wrapper/decoder_prenet/"
+    t[pre + "dense_1/kernel"] = rng.standard_normal((M + mem, 16))
+    t[pre + "dense_1/bias"] = rng.standard_normal((16,))
+    t[pre + "dense_2/kernel"] = rng.standard_normal((16, 8))
+    t[pre + "dense_2/bias"] = rng.standard_normal((8,))
+    t[dec + "prenet_wrapper/lstm_block_cell/kernel"] = \
+        rng.standard_normal((8 + A, 4 * A))
+    t[dec + "prenet_wrapper/lstm_block_cell/bias"] = \
+        rng.standard_normal((4 * A,))
+    for i, cin in ((1, A + mem), (2, D)):
+        base = p + f"decoder/{nest}/cell_{i}/lstm_block_cell/"
+        t[base + "kernel"] = rng.standard_normal((cin + D, 4 * D))
+        t[base + "bias"] = rng.standard_normal((4 * D,))
+    t[p + "decoder/output_projection_wrapper/kernel"] = \
+        rng.standard_normal((D, M * R))
+    t[p + "decoder/output_projection_wrapper/bias"] = \
+        rng.standard_normal((M * R,))
+    for i, cin in ((0, M), (1, 6)):
+        base = p + f"decoder_postnet/postnet_conv_{i}/"
+        t[base + "conv1d/kernel"] = rng.standard_normal((5, cin, 6))
+        t[base + "conv1d/bias"] = rng.standard_normal((6,))
+        for leaf in ("gamma", "beta", "moving_mean", "moving_variance"):
+            t[base + "batch_normalization/" + leaf] = rng.standard_normal((6,))
+    t[p + "dense/kernel"] = rng.standard_normal((6, M))  # postnet out
+    t[p + "dense/bias"] = rng.standard_normal((M,))
+    for i, cin in ((0, M), (1, 5)):
+        base = p + f"expand/conv_{i}/"
+        t[base + "conv1d/kernel"] = rng.standard_normal((5, cin, 5))
+        t[base + "conv1d/bias"] = rng.standard_normal((5,))
+        for leaf in ("gamma", "beta", "moving_mean", "moving_variance"):
+            t[base + "batch_normalization/" + leaf] = rng.standard_normal((5,))
+    for d in ("fw", "bw"):
+        base = p + f"expand/encoder_lstm/{d}/lstm_block_cell/"
+        t[base + "kernel"] = rng.standard_normal((5 + 4, 16))
+        t[base + "bias"] = rng.standard_normal((16,))
+    t[p + "dense_1/kernel"] = rng.standard_normal((8, F))  # linear proj
+    t[p + "dense_1/bias"] = rng.standard_normal((F,))
+    return t
+
+
+@pytest.mark.smoke
+def test_mapper_maps_synthetic_taco2(rng):
+    t = _synthetic_taco2(rng)
+    params, state, hp = import_tacotron(t, "taco2")
+    assert hp["num_mels"] == 3 and hp["outputs_per_step"] == 2
+    assert hp["num_freq"] == 9 and hp["attention_type"] == "location_sensitive"
+    assert hp["decoder_lstm_units"] == 7 and hp["encoder_lstm_units"] == 5
+    assert params["attn_lstm"]["kernel"].shape == (12, 16)
+    assert params["postnet"]["out"]["kernel"].shape == (6, 3)
+    assert params["linear_proj"]["kernel"].shape == (8, 9)
+    assert state["encoder"]["convs"][0]["bn"]["mean"].shape == (6,)
+    assert "moving_mean" not in str(params)
+
+
+@pytest.mark.smoke
+def test_mapper_tolerates_wrapper_nesting_drift(rng):
+    """The auto-generated wrapper chain between 'decoder' and the leaves
+    varies across TF versions; the mapper keys on structural landmarks
+    only, so a different nesting must import identically."""
+    a = import_tacotron(_synthetic_taco2(rng), "taco2")
+    rng2 = np.random.default_rng(0)
+    b = import_tacotron(
+        _synthetic_taco2(np.random.default_rng(0),
+                         nest="while/attention_decoder_1"), "taco2")
+    del rng2
+    assert str(a[2]) == str(b[2])  # same derived hparams
+
+
+@pytest.mark.smoke
+def test_detect_model_and_rejections(rng):
+    t = _synthetic_taco2(rng)
+    assert detect_model(t) == "taco2"
+    with pytest.raises(ImportError_, match="cannot detect"):
+        detect_model({"model/other/w": np.zeros((2,))})
+    with pytest.raises(ImportError_, match="no 'inference/'"):
+        import_tacotron({"foo/bar": np.zeros((2,))}, "taco2")
+    # an unrecognized inference variable must fail loudly, not silently
+    t2 = _synthetic_taco2(np.random.default_rng(1))
+    t2["model/inference/encoder/mystery"] = np.zeros((3,))
+    with pytest.raises(ImportError_, match="unmapped"):
+        import_tacotron(t2, "taco2")
+
+
+@pytest.mark.smoke
+def test_mapper_ignores_optimizer_slots(rng):
+    t = _synthetic_taco2(rng)
+    t["model/inference/encoder/conv_0/conv1d/kernel/Adam"] = np.zeros((2,))
+    t["model/optimizer/beta1_power"] = np.zeros(())
+    t["global_step"] = np.zeros(())
+    params, _, hp = import_tacotron(t, "taco2")
+    assert hp["num_mels"] == 3
+    assert params["encoder"]["convs"][0]["conv"]["kernel"].shape[0] == 5
