@@ -133,6 +133,34 @@ def plot_loss_curve(metrics_path: str, out_path: str):
     return steps[-1] if steps else None, losses[-1] if losses else None
 
 
+def _copy_items(corpus: str, n: int):
+    """[(wav_path, speaker_id_or_None)] for copy synthesis: LJSpeech
+    layout (metadata.csv + wavs/) or VCTK layout (wav48/p*/ — one
+    utterance per speaker round-robin; the speaker index follows the
+    feeder's deterministic sorted speaker map)."""
+    meta = os.path.join(corpus, "metadata.csv")
+    if os.path.exists(meta):
+        with open(meta, encoding="utf-8") as f:
+            rows = [line.strip().split("|")[0] for line in f][:n]
+        return [(os.path.join(corpus, "wavs", r + ".wav"), None)
+                for r in rows]
+    import glob as _glob
+    spk_dirs = sorted(_glob.glob(os.path.join(corpus, "wav48", "p*")))
+    if not spk_dirs:
+        raise SystemExit(f"{corpus}: neither metadata.csv nor wav48/")
+    items = []
+    i = 0
+    while len(items) < n:
+        spk = i % len(spk_dirs)
+        wavs = sorted(_glob.glob(os.path.join(spk_dirs[spk], "*.wav")))
+        idx = i // len(spk_dirs)
+        if idx >= len(wavs):
+            break
+        items.append((wavs[idx], spk))
+        i += 1
+    return items
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--taco-run", required=True,
@@ -157,6 +185,15 @@ def main():
                     help="extra temperatures to score (metrics only)")
     ap.add_argument("--tf-window", type=int, default=4096,
                     help="teacher-forced scoring window (samples)")
+    ap.add_argument("--speakers", default="",
+                    help="comma-separated speaker ids: run the end-to-end "
+                         "section once per (text, speaker) through the "
+                         "speaker-conditioned pipeline (taco2 speaker "
+                         "embedding + WaveNet gc) and report the "
+                         "spectral-shift ratio of each speaker vs the "
+                         "first — the designed-voice-ratio evidence of "
+                         "docs/multispeaker/ carried through the NEURAL "
+                         "vocoder instead of Griffin-Lim")
     ap.add_argument("--no-pallas", action="store_true",
                     help="sample through the lax.scan generator instead of "
                          "the Pallas kernel: the same learned conditional "
@@ -202,13 +239,10 @@ def main():
     from nspeech_tpu.dsp.mulaw import mu_law_decode
     from nspeech_tpu.ops.upsample import upsample_on_device
 
-    meta = os.path.join(args.corpus, "metadata.csv")
-    with open(meta, encoding="utf-8") as f:
-        rows = [line.strip().split("|") for line in f][: args.n_copy]
+    rows = _copy_items(args.corpus, args.n_copy)
 
-    tf_wav = dsp.load_wav(
-        os.path.join(args.corpus, "wavs", rows[0][0] + ".wav"),
-        cfg.sample_rate)
+    tf_path, tf_spk = rows[0]
+    tf_wav = dsp.load_wav(tf_path, cfg.sample_rate)
     rf = voc.net.receptive_field
     off = min(20000, max(len(tf_wav) - rf - args.tf_window, 0))
     seg = np.asarray(tf_wav[off: off + rf + args.tf_window], np.float32)[None]
@@ -216,8 +250,10 @@ def main():
     lc_full = np.asarray(upsample_on_device(
         jnp.asarray(np.asarray(tf_mel))[None], voc._hop, len(tf_wav)))
     lc_seg = lc_full[:, off: off + seg.shape[1]]
+    tf_gc = (jnp.asarray([tf_spk], jnp.int32)
+             if tf_spk is not None and voc.net.gc_channels else None)
     logits, targets = voc.net.forward_train(
-        voc._params, jnp.asarray(seg), lc=jnp.asarray(lc_seg))
+        voc._params, jnp.asarray(seg), gc_ids=tf_gc, lc=jnp.asarray(lc_seg))
     logits = np.asarray(logits)[0]
     targets = np.asarray(targets)[0]
     mx = logits.max(-1, keepdims=True)
@@ -239,8 +275,7 @@ def main():
 
     # -- copy synthesis (ground-truth mel -> wav) --------------------------
     copies = []
-    for i, row in enumerate(rows):
-        wav_path = os.path.join(args.corpus, "wavs", row[0] + ".wav")
+    for i, (wav_path, spk) in enumerate(rows):
         ref = dsp.load_wav(wav_path, cfg.sample_rate)
         ref = ref[: int(args.copy_seconds * cfg.sample_rate)]
         _, mel = dsp.spectrograms(ref, cfg)
@@ -248,7 +283,8 @@ def main():
         sweep = {}
         gen = None
         for t in args.sweep:
-            g = np.asarray(voc.vocode(mel, temperature=t))
+            g = np.asarray(voc.vocode(mel, speaker_id=spk,
+                                      temperature=t))
             sweep[str(t)] = {
                 "mel_l1": round(mel_l1(g, mel, cfg), 4),
                 "freq_track_agreement": round(track_agreement(
@@ -257,7 +293,8 @@ def main():
             if t == args.temperature:
                 gen = g  # reuse: the shipped wav is this sweep point
         if gen is None:
-            gen = np.asarray(voc.vocode(mel, temperature=args.temperature))
+            gen = np.asarray(voc.vocode(
+                mel, speaker_id=spk, temperature=args.temperature))
         dsp.save_wav(gen, os.path.join(args.out, f"copy{i}_wavenet.wav"),
                      cfg.sample_rate)
         dsp.save_wav(ref, os.path.join(args.out, f"copy{i}_reference.wav"),
@@ -272,7 +309,9 @@ def main():
             [("conditioning mel (ground truth)", mel),
              ("mel of WaveNet output", np.asarray(gen_mel))],
             cfg.sample_rate)
-        entry = {"utterance": row[0], "mel_l1": round(l1, 4),
+        entry = {"utterance": os.path.splitext(
+                     os.path.basename(wav_path))[0],
+                 "speaker": spk, "mel_l1": round(l1, 4),
                  "freq_track_agreement": round(agree, 4),
                  "spectral_cosine": round(spectral_cosine(
                      ref, gen, cfg.sample_rate), 4)}
@@ -284,6 +323,48 @@ def main():
     # -- end-to-end text -> taco2 -> wavenet -------------------------------
     synth = Synthesizer.from_checkpoint(os.path.join(args.taco_run, "ckpt"))
     tts = TextToSpeech(synth, voc)
+    if args.speakers:
+        # speaker-conditioned route: every text for every speaker, with
+        # the per-speaker voice-ratio table measured ON THE WAVENET WAVS
+        from alignment_report import spectral_shift_ratio
+
+        speakers = [int(s) for s in args.speakers.split(",")]
+        per_text = []
+        for i, text in enumerate(args.texts):
+            wavs = {}
+            entry = {"text": text, "speakers": {}}
+            for spk in speakers:
+                wav, mel, _, wav_gl = tts.synthesize(
+                    text, speaker_id=spk, temperature=args.temperature,
+                    return_gl=True)
+                wav = np.asarray(wav)
+                wavs[spk] = wav
+                dsp.save_wav(
+                    wav, os.path.join(args.out, f"e2e{i}_spk{spk}_wn.wav"),
+                    cfg.sample_rate)
+                n_frames = max(int(np.ceil(len(wav_gl) / voc._hop)), 1)
+                entry["speakers"][str(spk)] = {
+                    "seconds": round(len(wav) / cfg.sample_rate, 2),
+                    "rms": round(float(np.sqrt(np.mean(wav ** 2))), 4),
+                    "wavenet_mel_l1_vs_predicted": round(
+                        mel_l1(wav, np.asarray(mel)[:n_frames], cfg), 4),
+                }
+            ref_wav = wavs[speakers[0]]
+            entry["spectral_ratio_vs_first_speaker"] = {
+                str(s): round(spectral_shift_ratio(
+                    ref_wav, wavs[s], cfg.sample_rate), 4)
+                for s in speakers[1:]}
+            per_text.append(entry)
+        report["end_to_end_speakers"] = per_text
+        # the unconditioned e2e section below has no meaning for a
+        # gc-conditioned vocoder: every decode names its speaker
+        out_json = os.path.join(args.out, "report.json")
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        print("wrote", out_json)
+        return
+
     e2e = []
     for i, text in enumerate(args.texts):
         wav, mel, _, wav_gl = tts.synthesize(
