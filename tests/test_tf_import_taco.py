@@ -197,6 +197,60 @@ def test_taco1_teacher_parity(ref_models, tmp_path):
     _assert_parity(ref, mine)
 
 
+@pytest.mark.parametrize("att", ["bah_norm", "bah_mon", "luong",
+                                 "luong_scaled"])
+def test_taco1_attention_type_parity(ref_models, tmp_path, att):
+    """The other four attention mechanisms of the reference's factory
+    (modules.py:61-106) under shared imported weights.
+
+    Full-length rows only: the reference passes memory_sequence_length
+    for 'bah'/'location_sensitive' ONLY — the other four attend over
+    batch padding (modules.py:65-75). Our implementation masks every
+    type (a deliberate fix, PARITY.md), so parity for these four holds
+    exactly on rows where masking is a no-op.
+    """
+    hp = _HP()
+    hp.attention_type = att
+    text_np, len_np, spk_np, mel_np, lin_np = _inputs(hp)
+    len_np = np.full_like(len_np, T_IN)  # full-length rows (see docstring)
+    rng = np.random.default_rng(7)
+    g = v1.Graph()
+    with g.as_default():
+        with v1.variable_scope("model"):
+            model = ref_models.create_model("taco1", hp)
+            model.initialize(tf.constant(text_np), tf.constant(len_np),
+                             tf.constant(spk_np), tf.constant(mel_np),
+                             tf.constant(lin_np))
+        saver = v1.train.Saver()
+        with v1.Session(graph=g) as sess:
+            sess.run(v1.global_variables_initializer())
+            ref = sess.run({"mel": model.mel_outputs,
+                            "linear": model.linear_outputs,
+                            "align": model.alignments})
+            prefix = saver.save(sess, str(tmp_path / f"{att}.ckpt"),
+                                write_meta_graph=False)
+
+    import jax
+    import jax.numpy as jnp
+    import nspeech_tpu.config as config
+    from nspeech_tpu.models import create_model
+
+    params, bn_state, derived = import_tacotron(prefix, "taco1")
+    assert derived["attention_type"] == att
+    cfg = config.load_config("taco1")
+    for k, v in derived.items():
+        setattr(cfg, k, v)
+    cfg.max_iters, cfg.drop_rate, cfg.sample_rate = (hp.max_iters, 0.0,
+                                                     hp.sample_rate)
+    outputs, _ = create_model("taco1", cfg).forward(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jax.tree_util.tree_map(jnp.asarray, bn_state),
+        jnp.asarray(text_np), jnp.asarray(len_np),
+        speaker_ids=jnp.asarray(spk_np), mel_targets=jnp.asarray(mel_np),
+        is_training=True, rng=jax.random.PRNGKey(0))
+    _assert_parity(ref, {k: np.asarray(v) for k, v in outputs.items()})
+
+
 def test_taco2_teacher_parity(ref_models, tmp_path):
     """Location-sensitive attention, LSTM decoder, postnet residual and
     the conv+BiLSTM expand network — all under shared weights."""

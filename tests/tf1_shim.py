@@ -600,6 +600,48 @@ class BahdanauAttention:
         return alignments, alignments
 
 
+class BahdanauMonotonicAttention(BahdanauAttention):
+    """TF1.15 BahdanauMonotonicAttention, parallel mode, zero sigmoid
+    noise: Bahdanau energy + trainable 'attention_score_bias', p =
+    sigmoid(score), alignments via Raffel et al.'s cumprod/cumsum
+    recursion; initial alignments one-hot at position 0."""
+
+    _score_scope = "bahdanau_monotonic_attention"
+
+    def initial_alignments(self, batch_size, dtype):
+        t_in = self.alignments_size
+        return _tf.one_hot(_tf.zeros((batch_size,), _tf.int32), t_in,
+                           dtype=dtype)
+
+    initial_state = initial_alignments
+
+    def _probability_fn(self, score, previous):
+        if self._memory_lengths is not None:
+            mask = _tf.sequence_mask(self._memory_lengths,
+                                     _tf.shape(score)[1])
+            score = _tf.where(mask, score,
+                              _tf.fill(_tf.shape(score), float("-inf")))
+        p = _tf.sigmoid(score)
+        # exclusive cumprod of (1-p), clipped as in TF's safe_cumprod
+        cumprod = _tf.math.cumprod(1.0 - p, axis=-1, exclusive=True)
+        cumprod = _tf.clip_by_value(cumprod, 1e-10, 1.0)
+        return p * cumprod * _tf.math.cumsum(previous / cumprod, axis=-1)
+
+    def __call__(self, query, state):
+        if self._site is None:
+            self._site = _ScopeSite(default_name=self._score_scope)
+        with self._site.enter():
+            processed = self.query_layer(query)[:, None, :]
+            vv = v1.get_variable("attention_v", [self._num_units])
+            score = _tf.reduce_sum(
+                vv * _tf.tanh(self.keys + processed), [2])
+            score = score + v1.get_variable(
+                "attention_score_bias", [],
+                initializer=v1.zeros_initializer())
+        alignments = self._probability_fn(score, state)
+        return alignments, alignments
+
+
 class LuongAttention:
     """TF1.15 LuongAttention: memory_layer only; score = q . keys^T,
     optionally scaled by the 'attention_g' scalar."""
@@ -856,6 +898,7 @@ def make_contrib_modules():
 
     seq2seq = types.ModuleType("tensorflow.contrib.seq2seq")
     seq2seq.BahdanauAttention = BahdanauAttention
+    seq2seq.BahdanauMonotonicAttention = BahdanauMonotonicAttention
     seq2seq.LuongAttention = LuongAttention
     seq2seq.AttentionWrapper = AttentionWrapper
     seq2seq.BasicDecoder = BasicDecoder
