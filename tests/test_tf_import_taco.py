@@ -443,3 +443,51 @@ def test_mapper_ignores_optimizer_slots(rng):
     params, _, hp = import_tacotron(t, "taco2")
     assert hp["num_mels"] == 3
     assert params["encoder"]["convs"][0]["conv"]["kernel"].shape[0] == 5
+
+
+# ---------------------------------------------------------------------------
+# Shim machinery contracts (fast; graph-level, no model builds)
+# ---------------------------------------------------------------------------
+
+@needs_tf
+def test_shim_scope_sites_reuse_across_reexecution():
+    """The property the whole unrolled-decode approach rests on: the
+    t-th re-execution of a layer-building line resolves to the scope its
+    first execution created (TF1's trace-once outcome), for functional
+    layers, cells, and variable_scope(None, default_name) alike."""
+    import tf1_shim as S
+
+    v1.disable_eager_execution()
+    g = v1.Graph()
+    with g.as_default():
+        x = v1.placeholder(tf.float32, [2, 6])
+        for _ in range(3):  # same call site, three "decoder steps"
+            S.dense(x, 4)
+        cell = S.GRUCell(3)
+        h = cell.zero_state(tf.shape(x)[0], tf.float32)
+        for _ in range(3):
+            _, h = cell(x, h)
+        for _ in range(3):
+            with S.shim_variable_scope(None, "loc"):
+                v1.get_variable("v", [2])
+        names = sorted(v.op.name for v in v1.global_variables())
+    assert names == ["dense/bias", "dense/kernel",
+                     "gru_cell/candidate/bias", "gru_cell/candidate/kernel",
+                     "gru_cell/gates/bias", "gru_cell/gates/kernel",
+                     "loc/v"]
+
+
+@needs_tf
+def test_shim_distinct_sites_uniquify():
+    """Two DIFFERENT unnamed call sites in one scope must get distinct
+    uniquified scopes ('dense', 'dense_1') in execution order."""
+    import tf1_shim as S
+
+    v1.disable_eager_execution()
+    g = v1.Graph()
+    with g.as_default():
+        x = v1.placeholder(tf.float32, [2, 6])
+        S.dense(x, 4)
+        S.dense(x, 5)  # different line -> different site
+        names = sorted(v.op.name for v in v1.global_variables())
+    assert "dense/kernel" in names and "dense_1/kernel" in names
