@@ -85,7 +85,7 @@ def stop_statistics(mels: Iterable[np.ndarray], r: int = 2,
 
 def stop_statistics_from_decodes(mels: Iterable[np.ndarray],
                                  boundaries: Iterable[int], r: int = 2,
-                                 guard: int = 4) -> Dict[str, float]:
+                                 guard: int = 20) -> Dict[str, float]:
     """Calibrate from the TRAINED MODEL's own free-running decodes.
 
     The corpus-trailing-frame statistic above assumes utterances end in
@@ -108,6 +108,12 @@ def stop_statistics_from_decodes(mels: Iterable[np.ndarray],
     beyond boundary+guard); danger = its quietest mid-speech r-step
     (window-max peaks before boundary-guard). Same recommendation rule
     as the corpus variant.
+
+    ``guard`` must cover the endpoint detector's overhang: find_endpoint
+    cuts at ``hop`` (~0.2 s = 16 frames) INTO the first silent window,
+    so the last ~16 "speech" frames are really silence onset — with a
+    small guard they leak into the danger statistic and the calibration
+    wrongly refuses (danger below floor). Default 20 frames.
     """
     floors: List[float] = []
     dangers: List[float] = []

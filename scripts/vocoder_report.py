@@ -331,7 +331,7 @@ def main():
         speakers = [int(s) for s in args.speakers.split(",")]
         per_text = []
         for i, text in enumerate(args.texts):
-            wavs = {}
+            wavs, gls = {}, {}
             entry = {"text": text, "speakers": {}}
             for spk in speakers:
                 wav, mel, _, wav_gl = tts.synthesize(
@@ -339,6 +339,7 @@ def main():
                     return_gl=True)
                 wav = np.asarray(wav)
                 wavs[spk] = wav
+                gls[spk] = np.asarray(wav_gl)
                 dsp.save_wav(
                     wav, os.path.join(args.out, f"e2e{i}_spk{spk}_wn.wav"),
                     cfg.sample_rate)
@@ -348,11 +349,25 @@ def main():
                     "rms": round(float(np.sqrt(np.mean(wav ** 2))), 4),
                     "wavenet_mel_l1_vs_predicted": round(
                         mel_l1(wav, np.asarray(mel)[:n_frames], cfg), 4),
+                    # voice preservation: the vocoded wav against the
+                    # deterministic Griffin-Lim wav of the SAME decode —
+                    # a rigid log-frequency shift of ~1.0 means the
+                    # neural vocoder kept the voice (the estimator's
+                    # robust regime: identical content and voice)
+                    "spectral_ratio_wn_vs_gl": round(spectral_shift_ratio(
+                        gls[spk], wav, cfg.sample_rate), 4),
                 }
             ref_wav = wavs[speakers[0]]
             entry["spectral_ratio_vs_first_speaker"] = {
                 str(s): round(spectral_shift_ratio(
                     ref_wav, wavs[s], cfg.sample_rate), 4)
+                for s in speakers[1:]}
+            # the conditioning evidence on deterministic audio (the r4
+            # docs/multispeaker protocol): cross-speaker ratios of the
+            # Griffin-Lim route, free of sampling noise
+            entry["griffinlim_spectral_ratio_vs_first_speaker"] = {
+                str(s): round(spectral_shift_ratio(
+                    gls[speakers[0]], gls[s], cfg.sample_rate), 4)
                 for s in speakers[1:]}
             per_text.append(entry)
         report["end_to_end_speakers"] = per_text

@@ -93,6 +93,31 @@ def test_decode_based_calibration(rng):
 
 
 @pytest.mark.smoke
+def test_decode_guard_covers_endpoint_overhang(rng):
+    """Observed live on the taco1 formant model (2026-08-20): the audio
+    endpoint detector cuts ~16 frames INTO the trailing silence, so with
+    a small guard those silence-onset frames leak into the danger
+    statistic and calibration wrongly refuses (danger 0.006 < floor
+    0.010). The default guard must cover the overhang."""
+    from nspeech_tpu.train.stopcal import stop_statistics_from_decodes
+
+    mels, bounds = [], []
+    for _ in range(12):
+        b = int(rng.integers(60, 80))
+        mel = rng.uniform(0.3, 0.6, (b, 8))
+        mel[np.arange(b), rng.integers(0, 8, b)] = 0.9
+        mel[-16:] = 0.005  # endpoint overhang: silence inside "speech"
+        post = rng.uniform(0, 0.01, (40, 8))
+        mels.append(np.concatenate([mel, post]).astype(np.float32))
+        bounds.append(b)
+    tight = stop_statistics_from_decodes(mels, bounds, r=2, guard=4)
+    assert tight["threshold"] == 0.0        # the failure being guarded
+    good = stop_statistics_from_decodes(mels, bounds, r=2)  # default guard
+    assert good["threshold"] > 0.0
+    assert good["separation"] > 1.5
+
+
+@pytest.mark.smoke
 def test_apply_threshold_roundtrip(tmp_path):
     ckpt = str(tmp_path)
     with open(os.path.join(ckpt, "config.json"), "w") as f:
