@@ -326,7 +326,7 @@ def main():
     if args.speakers:
         # speaker-conditioned route: every text for every speaker, with
         # the per-speaker voice-ratio table measured ON THE WAVENET WAVS
-        from alignment_report import spectral_shift_ratio
+        from alignment_report import median_f0, spectral_shift_ratio
 
         speakers = [int(s) for s in args.speakers.split(",")]
         per_text = []
@@ -356,6 +356,14 @@ def main():
                     # robust regime: identical content and voice)
                     "spectral_ratio_wn_vs_gl": round(spectral_shift_ratio(
                         gls[spk], wav, cfg.sample_rate), 4),
+                    # HPS median F0 of both routes: equal F0 = the
+                    # vocoder preserved the pitch identity (robust where
+                    # the rigid-shift correlator locks onto the wrong
+                    # comb offset on sampled audio)
+                    "median_f0_wn": round(median_f0(
+                        wav, cfg.sample_rate), 1),
+                    "median_f0_gl": round(median_f0(
+                        gls[spk], cfg.sample_rate), 1),
                 }
             ref_wav = wavs[speakers[0]]
             entry["spectral_ratio_vs_first_speaker"] = {
