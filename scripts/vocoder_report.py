@@ -76,6 +76,21 @@ def spectral_cosine(a: np.ndarray, b: np.ndarray, sr: int,
     return float(np.mean(sims)) if sims else 0.0
 
 
+def log_spectral_centroid(wav: np.ndarray, sr: int, f_lo: float = 80.0,
+                          f_hi: float = 4000.0) -> float:
+    """Geometric-mean spectral centroid (Hz) over the 80–4000 Hz band —
+    the voice-identity summary used for the multispeaker corpora (it
+    tracks each speaker_voice() f_scale robustly where dominant-bin and
+    HPS-F0 estimators octave-hop on chirped/sampled audio)."""
+    x = np.asarray(wav, np.float64)
+    f = np.fft.rfftfreq(len(x), 1.0 / sr)
+    m = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+    band = (f > f_lo) & (f < f_hi)
+    if not band.any() or m[band].sum() <= 0:
+        return 0.0
+    return float(np.exp((np.log(f[band]) * m[band]).sum() / m[band].sum()))
+
+
 def mel_l1(wav: np.ndarray, ref_mel: np.ndarray, cfg) -> float:
     """L1 between the mel of ``wav`` and ``ref_mel`` (both [T, M] in the
     framework's normalized [0, 1] mel domain), over the overlap."""
@@ -312,6 +327,10 @@ def main():
         entry = {"utterance": os.path.splitext(
                      os.path.basename(wav_path))[0],
                  "speaker": spk, "mel_l1": round(l1, 4),
+                 "centroid_ref_hz": round(log_spectral_centroid(
+                     ref, cfg.sample_rate), 1),
+                 "centroid_gen_hz": round(log_spectral_centroid(
+                     gen, cfg.sample_rate), 1),
                  "freq_track_agreement": round(agree, 4),
                  "spectral_cosine": round(spectral_cosine(
                      ref, gen, cfg.sample_rate), 4)}
@@ -363,6 +382,10 @@ def main():
                     "median_f0_wn": round(median_f0(
                         wav, cfg.sample_rate), 1),
                     "median_f0_gl": round(median_f0(
+                        gls[spk], cfg.sample_rate), 1),
+                    "centroid_wn_hz": round(log_spectral_centroid(
+                        wav, cfg.sample_rate), 1),
+                    "centroid_gl_hz": round(log_spectral_centroid(
                         gls[spk], cfg.sample_rate), 1),
                 }
             ref_wav = wavs[speakers[0]]
