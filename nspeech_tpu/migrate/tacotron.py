@@ -436,10 +436,20 @@ def import_tacotron(src, model: str) -> Tuple[Dict[str, Any], Dict[str, Any],
 
 
 def detect_model(src) -> str:
-    """'taco1' | 'taco2' | 'wavenet' from a checkpoint's variable names."""
-    names = (_tensors(src).keys() if not isinstance(src, dict)
-             else src.keys())
-    names = list(names)
+    """'taco1' | 'taco2' | 'wavenet' from a checkpoint's variable names.
+
+    Reads the bundle INDEX only — no tensor payloads are decoded (the
+    reader checksums every byte it decodes, which for a full training
+    checkpoint is hundreds of MB of pure-Python CRC work the detection
+    doesn't need)."""
+    if isinstance(src, dict):
+        names = list(src.keys())
+    else:
+        from nspeech_tpu.migrate.tfbundle import TFBundleReader
+
+        reader = src if isinstance(src, TFBundleReader) else \
+            TFBundleReader(src)
+        names = list(reader.variable_names())
     if any(n.startswith("wavenet/") for n in names):
         return "wavenet"
     rels = [r for r in (_strip_prefixes(n) for n in names) if r]
