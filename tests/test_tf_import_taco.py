@@ -491,3 +491,15 @@ def test_shim_distinct_sites_uniquify():
         S.dense(x, 5)  # different line -> different site
         names = sorted(v.op.name for v in v1.global_variables())
     assert "dense/kernel" in names and "dense_1/kernel" in names
+
+
+def test_taco2_multispeaker_parity(ref_models, tmp_path):
+    """taco2 + speakers: embedding table plus the per-step decoder-prenet
+    speaker projection inside the attention cell (the only taco2 speaker
+    path — its conv+BiLSTM encoder takes none, reference tacotron2.py:41-49,
+    rnn_wrappers.py:28-30) under shared imported weights."""
+    prefix, ref, hp = _build_ref(ref_models, "taco2", multi_speaker=True,
+                                 save_prefix=str(tmp_path / "t2m.ckpt"))
+    mine, derived = _ours("taco2", prefix, hp)
+    assert derived["num_speakers"] == 3
+    _assert_parity(ref, mine)
