@@ -503,3 +503,35 @@ def test_taco2_multispeaker_parity(ref_models, tmp_path):
     mine, derived = _ours("taco2", prefix, hp)
     assert derived["num_speakers"] == 3
     _assert_parity(ref, mine)
+
+
+def test_cli_roundtrip_serves_imported_taco1(ref_models, tmp_path):
+    """The taco1 branch of import_reference_ckpt (model auto-detection,
+    bn_state restore, run-dir write) through the serving restore path."""
+    import jax
+    import jax.numpy as jnp
+    import import_reference_ckpt
+    from nspeech_tpu.models import create_model
+    from nspeech_tpu.train import config_from_checkpoint, \
+        load_serving_params
+
+    prefix, ref, hp = _build_ref(ref_models, "taco1",
+                                 save_prefix=str(tmp_path / "cli1.ckpt"))
+    out = str(tmp_path / "imported1")
+    assert import_reference_ckpt.main(["--ckpt", prefix, "--out", out]) == 0
+
+    ckpt_dir = f"{out}/ckpt"
+    cfg, model_name = config_from_checkpoint(ckpt_dir)
+    assert model_name == "taco1"
+    assert cfg.attention_type == "bah"
+    cfg.max_iters = hp.max_iters
+    cfg.drop_rate = 0.0
+    model = create_model("taco1", cfg)
+    params, bn_state = load_serving_params(ckpt_dir, model, cfg, "taco1")
+    text_np, len_np, spk_np, mel_np, _ = _inputs(hp)
+    outputs, _ = model.forward(
+        params, bn_state, jnp.asarray(text_np), jnp.asarray(len_np),
+        speaker_ids=jnp.asarray(spk_np), mel_targets=jnp.asarray(mel_np),
+        is_training=True, rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(outputs["linear_outputs"]),
+                               ref["linear"], atol=3e-5, rtol=1e-4)
